@@ -1,0 +1,201 @@
+"""Statistics capture: activations and output-gradients without hooks.
+
+The reference attaches forward-pre/backward hooks to mutable modules
+(``kfac/base_preconditioner.py:437-479`` of gpauloski/kfac-pytorch). JAX has
+no hooks, so capture is re-designed functionally:
+
+- **Activations** ``a`` are recorded by a flax method interceptor during the
+  forward trace (they are the same residuals the backward pass saves anyway,
+  so no extra memory is materialized after XLA fusion).
+- **Output gradients** ``g = dL/dy`` are obtained with the *zero
+  perturbation tap* trick: each registered layer's output gets ``y +
+  tap[name]`` where ``tap`` is a zeros array. ``jax.value_and_grad`` over
+  ``(params, taps)`` then yields the parameter gradients AND the layer
+  output cotangents in a single backward pass. The added zeros are free:
+  the tap cotangent CSEs with the cotangent XLA already computes for the
+  weight gradient.
+
+The captured statistics are reduced to covariance factors *inside* the same
+jit so only the small ``(d, d)`` factors survive the step. With the batch
+sharded over a mesh axis, the covariance contraction automatically becomes a
+local-matmul + psum -- the TPU equivalent of the reference's factor
+allreduce (``kfac/layers/base.py:282-336``), inserted by XLA for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kfac_pytorch_tpu.layers.registry import LayerSpec
+from kfac_pytorch_tpu.layers.registry import module_path_name
+
+__all__ = ['CapturedFactors', 'accumulate_captures', 'capture_value_and_grad']
+
+
+class CapturedFactors(NamedTuple):
+    """Per-layer batch covariance factors captured from one fwd/bwd pass."""
+
+    a: jax.Array  # (da, da) batch A factor (already bias-augmented)
+    g: jax.Array  # (dg, dg) batch G factor
+
+
+Captured = dict[str, CapturedFactors]
+
+
+def accumulate_captures(captures: list[Captured]) -> Captured:
+    """Average captured factors over gradient-accumulation microbatches.
+
+    Mirrors the reference's per-layer ``_a_batch/_a_count`` accumulation
+    (``kfac/layers/base.py:338-405``): microbatch factors are summed and
+    divided by the count at update time.
+    """
+    if not captures:
+        raise ValueError('captures must be non-empty')
+    n = len(captures)
+    out: Captured = {}
+    for name in captures[0]:
+        a = sum(c[name].a for c in captures) / n
+        g = sum(c[name].g for c in captures) / n
+        out[name] = CapturedFactors(a=a, g=g)  # type: ignore[arg-type]
+    return out
+
+
+def _tapped_loss_fn(
+    loss_fn: Callable[..., Any],
+    specs: dict[str, LayerSpec],
+    has_aux: bool,
+) -> Callable[..., Any]:
+    """Wrap ``loss_fn`` to add taps to layer outputs and record inputs."""
+
+    def wrapped(params: Any, taps: dict[str, list[jax.Array]], *args: Any,
+                **kwargs: Any) -> tuple[jax.Array, tuple[Any, dict]]:
+        acts: dict[str, list[jax.Array]] = {}
+        call_idx: dict[str, int] = {}
+
+        def interceptor(next_fun, cargs, ckwargs, context):  # type: ignore[no-untyped-def]
+            module = context.module
+            if context.method_name != '__call__' or not cargs:
+                return next_fun(*cargs, **ckwargs)
+            name = module_path_name(module)
+            if name not in taps:
+                return next_fun(*cargs, **ckwargs)
+            i = call_idx.get(name, 0)
+            call_idx[name] = i + 1
+            acts.setdefault(name, []).append(cargs[0])
+            y = next_fun(*cargs, **ckwargs)
+            return y + taps[name][i]
+
+        with nn.intercept_methods(interceptor):
+            out = loss_fn(params, *args, **kwargs)
+        if has_aux:
+            loss, aux = out
+        else:
+            loss, aux = out, None
+        return loss, (aux, acts)
+
+    return wrapped
+
+
+def _discover_tap_shapes(
+    loss_fn: Callable[..., Any],
+    specs: dict[str, LayerSpec],
+    params: Any,
+    args: tuple[Any, ...],
+    kwargs: dict[str, Any],
+) -> dict[str, list[jax.ShapeDtypeStruct]]:
+    """Abstractly trace the loss to find layer output shapes for this batch."""
+    shapes: dict[str, list[jax.ShapeDtypeStruct]] = {}
+
+    def interceptor(next_fun, cargs, ckwargs, context):  # type: ignore[no-untyped-def]
+        module = context.module
+        if context.method_name != '__call__' or not cargs:
+            return next_fun(*cargs, **ckwargs)
+        name = module_path_name(module)
+        y = next_fun(*cargs, **ckwargs)
+        if name in specs and hasattr(y, 'shape'):
+            shapes.setdefault(name, []).append(
+                jax.ShapeDtypeStruct(y.shape, y.dtype),
+            )
+        return y
+
+    def traced(p: Any, a: tuple[Any, ...], k: dict[str, Any]) -> Any:
+        with nn.intercept_methods(interceptor):
+            return loss_fn(p, *a, **k)
+
+    jax.eval_shape(traced, params, args, kwargs)
+    return shapes
+
+
+def capture_value_and_grad(
+    loss_fn: Callable[..., Any],
+    specs: dict[str, LayerSpec],
+    has_aux: bool = False,
+    grad_scale: Callable[[], jax.Array | float] | None = None,
+) -> Callable[..., tuple[Any, Any, Captured]]:
+    """Build a jittable ``value_and_grad`` that also captures K-FAC factors.
+
+    Args:
+        loss_fn: ``loss_fn(params, *args, **kwargs) -> loss`` or
+            ``(loss, aux)`` when ``has_aux``. Must call the flax modules
+            named in ``specs`` somewhere inside (any nesting of ``apply``).
+        specs: registered layers from ``register_modules``.
+        has_aux: whether ``loss_fn`` returns an aux output.
+        grad_scale: optional callable returning the AMP loss-scale; captured
+            output-gradients are divided by it before the covariance, exactly
+            like the reference's ``grad_scaler`` unscaling
+            (``kfac/layers/base.py:359-373``).
+
+    Returns:
+        ``fn(params, *args, **kwargs) -> ((loss, aux), grads, captured)``
+        where ``grads`` matches the params structure and ``captured`` maps
+        layer name -> CapturedFactors. Fully jittable.
+    """
+    wrapped = _tapped_loss_fn(loss_fn, specs, has_aux)
+
+    def fn(
+        params: Any,
+        *args: Any,
+        **kwargs: Any,
+    ) -> tuple[tuple[jax.Array, Any], Any, Captured]:
+        tap_shapes = _discover_tap_shapes(loss_fn, specs, params, args, kwargs)
+        missing = set(specs) - set(tap_shapes)
+        if missing:
+            raise ValueError(
+                f'Registered layers were not called in loss_fn: {missing}. '
+                'Did the model structure change since registration?',
+            )
+        taps = {
+            name: [jnp.zeros(s.shape, s.dtype) for s in lst]
+            for name, lst in tap_shapes.items()
+            if name in specs
+        }
+        grad_fn = jax.value_and_grad(wrapped, argnums=(0, 1), has_aux=True)
+        (loss, (aux, acts)), (gparams, gtaps) = grad_fn(
+            params,
+            taps,
+            *args,
+            **kwargs,
+        )
+        scale = None if grad_scale is None else grad_scale()
+        captured: Captured = {}
+        for name, spec in specs.items():
+            helper = spec.helper
+            a_list = acts[name]
+            g_list = gtaps[name]
+            a_fac = sum(
+                helper.get_a_factor(a) for a in a_list
+            ) / len(a_list)
+            if scale is not None:
+                g_list = [g / scale for g in g_list]
+            g_fac = sum(
+                helper.get_g_factor(g) for g in g_list
+            ) / len(g_list)
+            captured[name] = CapturedFactors(a=a_fac, g=g_fac)
+        return (loss, aux), gparams, captured
+
+    return fn

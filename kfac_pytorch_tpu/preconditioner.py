@@ -1,0 +1,671 @@
+"""KAISA K-FAC gradient preconditioner, TPU-native.
+
+Functional re-design of the reference's preconditioner stack
+(``kfac/preconditioner.py:34-334``, ``kfac/base_preconditioner.py:22-479``
+of gpauloski/kfac-pytorch). Instead of a stateful object mutating
+``param.grad`` in place, the engine is a pure function::
+
+    (loss, aux), grads, captured = precond.value_and_grad(loss_fn)(params, batch)
+    new_grads, new_state = precond.step(state, grads, captured)
+
+Everything in ``step`` is jittable: interval gating (``factor_update_steps``,
+``inv_update_steps``) uses ``lax.cond`` on the traced step counter; the KL
+clip stays on-device (no ``.item()`` host sync as in the reference's
+``_compute_grad_scale``, ``base_preconditioner.py:411-435``).
+
+Distribution model (KAISA semantics, SPMD expression):
+
+- Factor "allreduce" is the covariance contraction over the globally
+  sharded batch -- XLA inserts the psum (free with pjit).
+- Factors of same-shaped layers are stacked into block buckets; the
+  eigendecompositions are sharded over the mesh on the block axis
+  (owner-computes without per-rank control flow).
+- The grad-worker-fraction strategy space (COMM/HYBRID/MEM-OPT) is three
+  sharding constraints over a (receiver x worker) factorization of the mesh
+  -- see ``kfac_pytorch_tpu/parallel/strategy.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from kfac_pytorch_tpu.capture import Captured
+from kfac_pytorch_tpu.capture import capture_value_and_grad
+from kfac_pytorch_tpu.enums import AssignmentStrategy
+from kfac_pytorch_tpu.enums import ComputeMethod
+from kfac_pytorch_tpu.enums import DistributedStrategy
+from kfac_pytorch_tpu.layers.registry import LayerSpec
+from kfac_pytorch_tpu.layers.registry import register_modules
+from kfac_pytorch_tpu.ops.curvature import damped_inverse
+from kfac_pytorch_tpu.ops.curvature import eigh_factor
+from kfac_pytorch_tpu.ops.curvature import ema_update
+from kfac_pytorch_tpu.ops.curvature import kl_clip_scale
+from kfac_pytorch_tpu.state import BucketState
+from kfac_pytorch_tpu.state import KFACState
+from kfac_pytorch_tpu.state import init_bucket_state
+from kfac_pytorch_tpu.utils.tree import get_subtree
+from kfac_pytorch_tpu.utils.tree import params_root
+from kfac_pytorch_tpu.utils.tree import set_subtree
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['KFACPreconditioner', 'Bucket']
+
+HyperParam = Callable[[jax.Array], Any] | float | int
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """Static plan for one block bucket (layers sharing factor dims)."""
+
+    key: str
+    specs: tuple[LayerSpec, ...]
+    a_dim: int
+    g_dim: int
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.specs)
+
+
+def _resolve(hp: HyperParam, steps: jax.Array) -> Any:
+    """Callable-or-constant hyperparameter resolution.
+
+    Mirrors the reference's property pattern (``base_preconditioner.py:
+    160-208``); callables receive the (possibly traced) step counter and
+    must be jnp-traceable.
+    """
+    return hp(steps) if callable(hp) else hp
+
+
+class KFACPreconditioner:
+    """KAISA K-FAC distributed gradient preconditioner for flax models.
+
+    Counterpart of reference ``KFACPreconditioner``
+    (``kfac/preconditioner.py:54-334``) plus the engine of
+    ``BaseKFACPreconditioner``.
+
+    Example::
+
+        model = Net()
+        precond = KFACPreconditioner(model, example_args=(x,), lr=0.1)
+        state = precond.init()
+        vag = jax.jit(precond.value_and_grad(loss_fn))
+        step = jax.jit(precond.step)
+        for batch in data:
+            (loss, _), grads, captured = vag(params, batch)
+            grads, state = step(state, grads, captured)
+            params = optax.apply_updates(params, scale(-lr, grads))
+    """
+
+    def __init__(
+        self,
+        model: Any = None,
+        *,
+        example_args: tuple[Any, ...] = (),
+        example_kwargs: dict[str, Any] | None = None,
+        specs: dict[str, LayerSpec] | None = None,
+        # K-FAC hyperparameters (constants or jnp-traceable callables of step)
+        factor_update_steps: HyperParam = 1,
+        inv_update_steps: HyperParam = 1,
+        damping: HyperParam = 0.001,
+        factor_decay: HyperParam = 0.95,
+        kl_clip: HyperParam | None = 0.001,
+        lr: HyperParam = 0.1,
+        # Distribution
+        accumulation_steps: int = 1,
+        assignment_strategy: AssignmentStrategy | str = (
+            AssignmentStrategy.COMPUTE
+        ),
+        colocate_factors: bool = True,
+        compute_method: ComputeMethod | str = ComputeMethod.EIGEN,
+        compute_eigenvalue_outer_product: bool = True,
+        grad_worker_fraction: DistributedStrategy | float = (
+            DistributedStrategy.COMM_OPT
+        ),
+        sharding: Any = None,  # parallel.strategy.KAISASharding or None
+        # Other
+        grad_scale: Callable[[], Any] | None = None,
+        factor_dtype: Any = None,
+        inv_dtype: Any = jnp.float32,
+        skip_layers: Sequence[str] = (),
+        init_fn: Callable[..., Any] | None = None,
+        loglevel: int = logging.DEBUG,
+    ) -> None:
+        if isinstance(assignment_strategy, str):
+            assignment_strategy = AssignmentStrategy[
+                assignment_strategy.upper()
+            ]
+        if isinstance(compute_method, str):
+            compute_method = ComputeMethod[compute_method.upper()]
+        if not callable(factor_update_steps) and factor_update_steps <= 0:
+            raise ValueError('factor_update_steps must be > 0')
+        if not callable(inv_update_steps) and inv_update_steps <= 0:
+            raise ValueError('inv_update_steps must be > 0')
+        if not callable(damping) and damping <= 0:
+            raise ValueError('damping must be > 0')
+        if not callable(factor_decay) and not 0 < factor_decay <= 1:
+            raise ValueError('factor_decay must be in (0, 1]')
+        if (
+            kl_clip is not None
+            and not callable(kl_clip)
+            and kl_clip <= 0
+        ):
+            raise ValueError('kl_clip must be > 0')
+        if accumulation_steps <= 0:
+            raise ValueError('accumulation_steps must be > 0')
+        if (
+            compute_method == ComputeMethod.EIGEN
+            and compute_eigenvalue_outer_product
+            and not colocate_factors
+        ):
+            raise ValueError(
+                'colocate_factors must be True to use '
+                'compute_eigenvalue_outer_product',
+            )
+
+        if specs is None:
+            if model is None:
+                raise ValueError('Provide either a model or explicit specs')
+            specs = register_modules(
+                model,
+                *example_args,
+                skip_layers=skip_layers,
+                factor_dtype=factor_dtype,
+                init_fn=init_fn,
+                **(example_kwargs or {}),
+            )
+        if not specs:
+            raise ValueError(
+                'No supported layers found to register. KFAC supports '
+                'nn.Dense and 2D nn.Conv flax modules.',
+            )
+        self._specs = dict(specs)
+        for name, spec in self._specs.items():
+            logger.log(
+                loglevel,
+                f'Registered name="{name}": {spec.module_type} '
+                f'A{spec.a_shape} G{spec.g_shape}',
+            )
+
+        self.assignment_strategy = assignment_strategy
+        self.colocate_factors = colocate_factors
+        self.compute_method = compute_method
+        self.prediv_eigenvalues = (
+            compute_eigenvalue_outer_product
+            and compute_method == ComputeMethod.EIGEN
+        )
+        self.grad_worker_fraction = grad_worker_fraction
+        self.sharding = sharding
+        self.accumulation_steps = accumulation_steps
+        self.grad_scale = grad_scale
+        self.factor_dtype = factor_dtype
+        self.store_dtype = factor_dtype if factor_dtype is not None else (
+            jnp.float32
+        )
+        self.inv_dtype = inv_dtype
+        self.skip_layers = list(skip_layers)
+
+        self._factor_update_steps = factor_update_steps
+        self._inv_update_steps = inv_update_steps
+        self._damping = damping
+        self._factor_decay = factor_decay
+        self._kl_clip = kl_clip
+        self._lr = lr
+
+        # Bucket plan: group layers by exact (g_dim, a_dim); same-shaped
+        # layers batch into one decomposition and shard on the block axis.
+        grouped: dict[str, list[LayerSpec]] = {}
+        for spec in self._specs.values():
+            key = f'g{spec.g_shape[0]}xa{spec.a_shape[0]}'
+            grouped.setdefault(key, []).append(spec)
+        self._plan: tuple[Bucket, ...] = tuple(
+            Bucket(
+                key=key,
+                specs=tuple(group),
+                a_dim=group[0].a_shape[0],
+                g_dim=group[0].g_shape[0],
+            )
+            for key, group in grouped.items()
+        )
+        self._slot: dict[str, tuple[str, int]] = {}
+        for bucket in self._plan:
+            for i, spec in enumerate(bucket.specs):
+                self._slot[spec.name] = (bucket.key, i)
+        self._paths: dict[str, tuple[str, ...]] = {
+            name: tuple(name.split('/')) for name in self._specs
+        }
+        self._first_component = next(iter(self._paths.values()))[0]
+
+    # ------------------------------------------------------------------
+    # Introspection / parity helpers
+    # ------------------------------------------------------------------
+
+    def __repr__(self) -> str:
+        params = [
+            ('accumulation_steps', self.accumulation_steps),
+            ('assignment_strategy', self.assignment_strategy),
+            ('compute_method', self.compute_method),
+            ('colocate_factors', self.colocate_factors),
+            ('damping', self._damping),
+            ('factor_decay', self._factor_decay),
+            ('factor_update_steps', self._factor_update_steps),
+            ('grad_worker_fraction', self.grad_worker_fraction),
+            ('inv_update_steps', self._inv_update_steps),
+            ('kl_clip', self._kl_clip),
+            ('layers', len(self._specs)),
+            ('lr', self._lr),
+            ('prediv_eigenvalues', self.prediv_eigenvalues),
+        ]
+        body = '\n'.join(f'  {k}={v},' for k, v in sorted(params))
+        return f'{type(self).__name__}(\n{body}\n)'
+
+    @property
+    def specs(self) -> dict[str, LayerSpec]:
+        return dict(self._specs)
+
+    @property
+    def plan(self) -> tuple[Bucket, ...]:
+        return self._plan
+
+    def work(self) -> dict[str, dict[str, float]]:
+        """Per-layer factor cost dict for work assignment.
+
+        Mirrors reference ``kfac/preconditioner.py:270-285``: COMPUTE costs
+        d^3 (decomposition flops), MEMORY costs d^2 (storage).
+        """
+        if self.assignment_strategy == AssignmentStrategy.COMPUTE:
+            cost = lambda n: float(n) ** 3  # noqa: E731
+        else:
+            cost = lambda n: float(n) ** 2  # noqa: E731
+        return {
+            name: {
+                'A': cost(spec.a_shape[0]),
+                'G': cost(spec.g_shape[0]),
+            }
+            for name, spec in self._specs.items()
+        }
+
+    def memory_usage(self, state: KFACState) -> dict[str, int]:
+        """Approximate bytes per category, mirroring the reference's
+        ``memory_usage`` (``base_preconditioner.py:389-409``)."""
+        sizes = {
+            'a_factors': 0,
+            'g_factors': 0,
+            'a_inverses': 0,
+            'g_inverses': 0,
+        }
+
+        def nbytes(x: jax.Array | None) -> int:
+            return 0 if x is None else x.size * x.dtype.itemsize
+
+        for bs in state.buckets.values():
+            sizes['a_factors'] += nbytes(bs.a_factor)
+            sizes['g_factors'] += nbytes(bs.g_factor)
+            sizes['a_inverses'] += nbytes(bs.qa) + nbytes(bs.da)
+            sizes['a_inverses'] += nbytes(bs.a_inv)
+            sizes['g_inverses'] += (
+                nbytes(bs.qg) + nbytes(bs.dg) + nbytes(bs.dgda)
+            )
+            sizes['g_inverses'] += nbytes(bs.g_inv)
+        sizes['total'] = sum(sizes.values())
+        return sizes
+
+    # ------------------------------------------------------------------
+    # State lifecycle
+    # ------------------------------------------------------------------
+
+    def init(self) -> KFACState:
+        """Create the initial preconditioner state."""
+        method = (
+            'eigen' if self.compute_method == ComputeMethod.EIGEN
+            else 'inverse'
+        )
+        buckets = {
+            bucket.key: init_bucket_state(
+                bucket.n_blocks,
+                bucket.a_dim,
+                bucket.g_dim,
+                compute_method=method,
+                prediv_eigenvalues=self.prediv_eigenvalues,
+                factor_dtype=self.store_dtype,
+                inv_dtype=self.inv_dtype,
+            )
+            for bucket in self._plan
+        }
+        state = KFACState(steps=jnp.zeros((), jnp.int32), buckets=buckets)
+        return self._constrain(state, 'factors')
+
+    # ------------------------------------------------------------------
+    # Capture
+    # ------------------------------------------------------------------
+
+    def value_and_grad(
+        self,
+        loss_fn: Callable[..., Any],
+        has_aux: bool = False,
+    ) -> Callable[..., tuple[Any, Any, Captured]]:
+        """Jittable value+grad+factor-capture for ``loss_fn(params, ...)``."""
+        return capture_value_and_grad(
+            loss_fn,
+            self._specs,
+            has_aux=has_aux,
+            grad_scale=self.grad_scale,
+        )
+
+    # ------------------------------------------------------------------
+    # Step
+    # ------------------------------------------------------------------
+
+    def _constrain(self, tree: Any, stage: str) -> Any:
+        if self.sharding is None:
+            return tree
+        return self.sharding.constrain(tree, stage)
+
+    def _update_factors(
+        self,
+        buckets: dict[str, BucketState],
+        captured: Captured,
+        decay: Any,
+    ) -> dict[str, BucketState]:
+        out = {}
+        for bucket in self._plan:
+            bs = buckets[bucket.key]
+            a_stack = jnp.stack(
+                [captured[s.name].a for s in bucket.specs],
+            ).astype(bs.a_factor.dtype)
+            g_stack = jnp.stack(
+                [captured[s.name].g for s in bucket.specs],
+            ).astype(bs.g_factor.dtype)
+            out[bucket.key] = bs.replace(
+                a_factor=ema_update(bs.a_factor, a_stack, decay),
+                g_factor=ema_update(bs.g_factor, g_stack, decay),
+            )
+        return self._constrain(out, 'factors')
+
+    def _compute_second_order(
+        self,
+        buckets: dict[str, BucketState],
+        damping: Any,
+    ) -> dict[str, BucketState]:
+        out = {}
+        for bucket in self._plan:
+            bs = buckets[bucket.key]
+            if self.compute_method == ComputeMethod.EIGEN:
+                qa, da = eigh_factor(bs.a_factor, self.inv_dtype)
+                qg, dg = eigh_factor(bs.g_factor, self.inv_dtype)
+                if self.prediv_eigenvalues:
+                    dgda = (
+                        1.0
+                        / (dg[:, :, None] * da[:, None, :] + damping)
+                    ).astype(self.inv_dtype)
+                    out[bucket.key] = bs.replace(qa=qa, qg=qg, dgda=dgda)
+                else:
+                    out[bucket.key] = bs.replace(qa=qa, qg=qg, da=da, dg=dg)
+            else:
+                out[bucket.key] = bs.replace(
+                    a_inv=damped_inverse(
+                        bs.a_factor, damping, self.inv_dtype,
+                    ),
+                    g_inv=damped_inverse(
+                        bs.g_factor, damping, self.inv_dtype,
+                    ),
+                )
+        return self._constrain(out, 'second_order')
+
+    def _precondition_bucket(
+        self,
+        bucket: Bucket,
+        bs: BucketState,
+        grad_mats: jax.Array,
+        damping: Any,
+    ) -> jax.Array:
+        """Batched preconditioning of a [B, g_dim, a_dim] gradient stack."""
+        g32 = grad_mats.astype(self.inv_dtype)
+        if self.compute_method == ComputeMethod.EIGEN:
+            v1 = jnp.einsum(
+                'bji,bjk->bik', bs.qg, g32,
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )
+            v1 = jnp.einsum(
+                'bik,bkl->bil', v1, bs.qa,
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )
+            if self.prediv_eigenvalues:
+                v2 = v1 * bs.dgda
+            else:
+                v2 = v1 / (
+                    bs.dg[:, :, None] * bs.da[:, None, :] + damping
+                )
+            pg = jnp.einsum(
+                'bij,bjk->bik', bs.qg, v2,
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )
+            pg = jnp.einsum(
+                'bik,blk->bil', pg, bs.qa,
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            pg = jnp.einsum(
+                'bij,bjk->bik', bs.g_inv, g32,
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )
+            pg = jnp.einsum(
+                'bik,bkl->bil', pg, bs.a_inv,
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+            )
+        return pg
+
+    def step(
+        self,
+        state: KFACState,
+        grads: Any,
+        captured: Captured | None = None,
+    ) -> tuple[Any, KFACState]:
+        """One K-FAC step: update factors, refresh inverses, precondition.
+
+        Functional counterpart of ``BaseKFACPreconditioner.step``
+        (``base_preconditioner.py:310-382``); returns the preconditioned
+        gradient pytree and the new state instead of mutating in place.
+
+        Args:
+            state: current ``KFACState``.
+            grads: gradient pytree matching the params structure (already
+                averaged over data-parallel replicas / the global batch).
+            captured: per-layer factors from ``value_and_grad`` (averaged
+                over accumulation microbatches via ``accumulate_captures``).
+                Pass None to skip the factor-update stage entirely, e.g.
+                when the caller gates capture in Python for speed.
+
+        Returns:
+            ``(preconditioned_grads, new_state)``.
+        """
+        steps = state.steps
+        damping = _resolve(self._damping, steps)
+        decay = _resolve(self._factor_decay, steps)
+        lr = _resolve(self._lr, steps)
+
+        # Stage 1: factor running averages (reference base.py:375-405).
+        if captured is not None:
+            fus = _resolve(self._factor_update_steps, steps)
+            if isinstance(fus, int) and fus == 1:
+                buckets = self._update_factors(state.buckets, captured, decay)
+            else:
+                buckets = jax.lax.cond(
+                    (steps % fus) == 0,
+                    lambda bs: self._update_factors(bs, captured, decay),
+                    lambda bs: bs,
+                    state.buckets,
+                )
+            state = state.replace(buckets=buckets)
+
+        # Stage 2: second-order info (eigendecomp or damped inverse).
+        ius = _resolve(self._inv_update_steps, steps)
+        if isinstance(ius, int) and ius == 1:
+            buckets = self._compute_second_order(state.buckets, damping)
+        else:
+            buckets = jax.lax.cond(
+                (steps % ius) == 0,
+                lambda bs: self._compute_second_order(bs, damping),
+                lambda bs: bs,
+                state.buckets,
+            )
+        state = state.replace(buckets=buckets)
+
+        # Stage 3: precondition gradients (batched per bucket).
+        root = params_root(grads, self._first_component)
+        vg_sum = jnp.zeros((), jnp.float32)
+        pg_by_bucket: dict[str, jax.Array] = {}
+        gm_dtypes: dict[str, Any] = {}
+        for bucket in self._plan:
+            grad_mats = jnp.stack(
+                [
+                    spec.helper.get_grad(
+                        get_subtree(root, self._paths[spec.name]),
+                    )
+                    for spec in bucket.specs
+                ],
+            )
+            bs = state.buckets[bucket.key]
+            pg = self._precondition_bucket(bucket, bs, grad_mats, damping)
+            pg = self._constrain(pg, 'precond_grad')
+            pg_by_bucket[bucket.key] = pg
+            gm_dtypes[bucket.key] = grad_mats.dtype
+            if self._kl_clip is not None:
+                vg_sum = vg_sum + jnp.sum(
+                    pg.astype(jnp.float32)
+                    * grad_mats.astype(jnp.float32),
+                ) * jnp.asarray(lr, jnp.float32) ** 2
+
+        # Stage 4: KL clip scale (reference base_preconditioner.py:411-435).
+        if self._kl_clip is not None:
+            kl = _resolve(self._kl_clip, steps)
+            scale = kl_clip_scale(vg_sum, kl)
+        else:
+            scale = None
+
+        # Stage 5: write the preconditioned gradients back into the pytree.
+        for bucket in self._plan:
+            pg = pg_by_bucket[bucket.key]
+            if scale is not None:
+                pg = pg * scale
+            pg = pg.astype(gm_dtypes[bucket.key])
+            for i, spec in enumerate(bucket.specs):
+                path = self._paths[spec.name]
+                sub = get_subtree(root, path)
+                root = set_subtree(
+                    root,
+                    path,
+                    spec.helper.set_grad(sub, pg[i]),
+                )
+
+        if root is not grads and isinstance(grads, dict) and 'params' in grads:
+            new_grads = dict(grads)
+            new_grads['params'] = root
+        else:
+            new_grads = root
+
+        state = state.replace(steps=steps + 1)
+        return new_grads, state
+
+    # ------------------------------------------------------------------
+    # Checkpointing (reference base_preconditioner.py:215-308)
+    # ------------------------------------------------------------------
+
+    def state_dict(
+        self,
+        state: KFACState,
+        include_factors: bool = True,
+    ) -> dict[str, Any]:
+        """Serializable snapshot: steps, static hyperparams, per-layer A/G.
+
+        Inverses are not saved (recomputed on load), matching the reference.
+        """
+        sd: dict[str, Any] = {'steps': int(state.steps)}
+        for key, value in [
+            ('factor_update_steps', self._factor_update_steps),
+            ('inv_update_steps', self._inv_update_steps),
+            ('damping', self._damping),
+            ('factor_decay', self._factor_decay),
+            ('kl_clip', self._kl_clip),
+            ('lr', self._lr),
+        ]:
+            if not callable(value):
+                sd[key] = value
+        if include_factors:
+            layers: dict[str, dict[str, jax.Array]] = {}
+            for name, (key, idx) in self._slot.items():
+                bs = state.buckets[key]
+                layers[name] = {
+                    'A': bs.a_factor[idx],
+                    'G': bs.g_factor[idx],
+                }
+            sd['layers'] = layers
+        return sd
+
+    def load_state_dict(
+        self,
+        state_dict: dict[str, Any],
+        compute_inverses: bool = True,
+    ) -> KFACState:
+        """Rebuild a ``KFACState`` from ``state_dict``.
+
+        Non-callable hyperparameters stored in the dict override the
+        constructor values (mirroring reference ``load_state_dict``,
+        ``base_preconditioner.py:249-308``).
+        """
+        for key in (
+            'factor_update_steps',
+            'inv_update_steps',
+            'damping',
+            'factor_decay',
+            'kl_clip',
+            'lr',
+        ):
+            if key in state_dict:
+                setattr(self, f'_{key}', state_dict[key])
+        state = self.init()
+        state = state.replace(
+            steps=jnp.asarray(state_dict['steps'], jnp.int32),
+        )
+        if 'layers' in state_dict:
+            if len(state_dict['layers']) != len(self._specs):
+                raise ValueError(
+                    'loaded state dict contains a different number of layers',
+                )
+            buckets = dict(state.buckets)
+            for name, layer_sd in state_dict['layers'].items():
+                if name not in self._slot:
+                    raise KeyError(f'Unknown layer in state dict: {name}')
+                key, idx = self._slot[name]
+                bs = buckets[key]
+                buckets[key] = bs.replace(
+                    a_factor=bs.a_factor.at[idx].set(
+                        jnp.asarray(layer_sd['A'], bs.a_factor.dtype),
+                    ),
+                    g_factor=bs.g_factor.at[idx].set(
+                        jnp.asarray(layer_sd['G'], bs.g_factor.dtype),
+                    ),
+                )
+            state = state.replace(buckets=buckets)
+            if compute_inverses:
+                damping = _resolve(self._damping, state.steps)
+                state = state.replace(
+                    buckets=self._compute_second_order(
+                        state.buckets,
+                        damping,
+                    ),
+                )
+        return state

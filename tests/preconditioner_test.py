@@ -1,0 +1,271 @@
+"""Engine tests for KFACPreconditioner (counterpart of reference
+``tests/base_preconditioner_test.py`` + ``tests/preconditioner_test.py``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from kfac_pytorch_tpu import KFACPreconditioner
+from kfac_pytorch_tpu.models import TinyModel
+
+
+def _setup(**kw):
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (8, 10))
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        out = model.apply(p, bx)
+        return jnp.mean((out - by) ** 2)
+
+    precond = KFACPreconditioner(model, example_args=(x,), **kw)
+    return model, params, precond, loss_fn, x, y
+
+
+def test_init_state_shapes() -> None:
+    _, _, precond, _, _, _ = _setup()
+    state = precond.init()
+    assert int(state.steps) == 0
+    total_blocks = sum(len(b.specs) for b in precond.plan)
+    assert total_blocks == 2
+    for bucket in precond.plan:
+        bs = state.buckets[bucket.key]
+        assert bs.a_factor.shape == (
+            bucket.n_blocks, bucket.a_dim, bucket.a_dim,
+        )
+        # identity init
+        np.testing.assert_allclose(
+            np.asarray(bs.a_factor[0]),
+            np.eye(bucket.a_dim),
+        )
+
+
+def test_step_updates_factors_with_ema() -> None:
+    model, params, precond, loss_fn, x, y = _setup()
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    _, new_state = precond.step(state, grads, captured)
+    assert int(new_state.steps) == 1
+    for bucket in precond.plan:
+        (spec,) = bucket.specs[:1]
+        key, idx = next(
+            (k, i)
+            for k, i in [(bucket.key, 0)]
+        )
+        expected = 0.95 * np.eye(bucket.a_dim) + 0.05 * np.asarray(
+            captured[spec.name].a,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.buckets[key].a_factor[idx]),
+            expected,
+            atol=1e-5,
+        )
+
+
+def test_preconditioned_grads_differ_from_raw() -> None:
+    model, params, precond, loss_fn, x, y = _setup()
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    pgrads, _ = precond.step(state, grads, captured)
+    k0 = np.asarray(grads['params']['Dense_0']['kernel'])
+    pk0 = np.asarray(pgrads['params']['Dense_0']['kernel'])
+    assert pk0.shape == k0.shape
+    assert not np.allclose(pk0, k0)
+    # non-registered structure preserved
+    assert set(pgrads['params']) == set(grads['params'])
+
+
+@pytest.mark.parametrize('compute_method', ['eigen', 'inverse'])
+@pytest.mark.parametrize('prediv', [True, False])
+def test_training_loss_decreases(compute_method: str, prediv: bool) -> None:
+    """Counterpart of reference tests/training_test.py smoke gate."""
+    if compute_method == 'inverse' and prediv:
+        pytest.skip('prediv only applies to eigen')
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10),
+        10,
+    )
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        logits = model.apply(p, bx)
+        return optax.softmax_cross_entropy(logits, by).mean()
+
+    precond = KFACPreconditioner(
+        model,
+        example_args=(x,),
+        compute_method=compute_method,
+        compute_eigenvalue_outer_product=prediv,
+        lr=0.1,
+        damping=0.003,
+    )
+    state = precond.init()
+    vag = jax.jit(precond.value_and_grad(loss_fn))
+    step = jax.jit(precond.step)
+
+    losses = []
+    for _ in range(20):
+        (loss, _), grads, captured = vag(params, x, y)
+        losses.append(float(loss))
+        pgrads, state = step(state, grads, captured)
+        params = jax.tree.map(lambda p, g: p - 0.1 * g, params, pgrads)
+    assert losses[-1] < losses[0]
+
+
+def test_update_interval_gating() -> None:
+    model, params, precond, loss_fn, x, y = _setup(
+        factor_update_steps=2,
+        inv_update_steps=4,
+    )
+    state = precond.init()
+    fn = jax.jit(precond.value_and_grad(loss_fn))
+    step = jax.jit(precond.step)
+    _, grads, captured = fn(params, x, y)
+
+    # step 0: both update (0 % n == 0)
+    _, s1 = step(state, grads, captured)
+    key = precond.plan[0].key
+    a_after_0 = np.asarray(s1.buckets[key].a_factor)
+    assert not np.allclose(a_after_0, np.asarray(state.buckets[key].a_factor))
+
+    # step 1: factor_update gated off -> factors unchanged
+    _, s2 = step(s1, grads, captured)
+    np.testing.assert_allclose(
+        np.asarray(s2.buckets[key].a_factor),
+        a_after_0,
+    )
+
+    # inverses recomputed only at steps 0, 4, ...
+    q_after_0 = np.asarray(s1.buckets[key].qa)
+    np.testing.assert_allclose(np.asarray(s2.buckets[key].qa), q_after_0)
+
+
+def test_no_kl_clip() -> None:
+    model, params, precond, loss_fn, x, y = _setup(kl_clip=None)
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    pgrads, _ = precond.step(state, grads, captured)
+    assert jnp.isfinite(
+        pgrads['params']['Dense_0']['kernel'],
+    ).all()
+
+
+def test_step_without_capture_skips_factor_update() -> None:
+    model, params, precond, loss_fn, x, y = _setup()
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, _ = fn(params, x, y)
+    _, new_state = precond.step(state, grads, captured=None)
+    key = precond.plan[0].key
+    np.testing.assert_allclose(
+        np.asarray(new_state.buckets[key].a_factor),
+        np.asarray(state.buckets[key].a_factor),
+    )
+    assert int(new_state.steps) == 1
+
+
+def test_state_dict_round_trip() -> None:
+    model, params, precond, loss_fn, x, y = _setup()
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    _, state = precond.step(state, grads, captured)
+
+    sd = precond.state_dict(state)
+    assert sd['steps'] == 1
+    assert set(sd['layers']) == {'Dense_0', 'Dense_1'}
+
+    restored = precond.load_state_dict(sd)
+    assert int(restored.steps) == 1
+    for bucket in precond.plan:
+        np.testing.assert_allclose(
+            np.asarray(restored.buckets[bucket.key].a_factor),
+            np.asarray(state.buckets[bucket.key].a_factor),
+            atol=1e-6,
+        )
+        # inverses recomputed on load -> preconditioning matches
+    _, g2 = jax.value_and_grad(loss_fn)(params, x, y)
+    pg1, _ = precond.step(state, g2, None)
+    pg2, _ = precond.step(restored, g2, None)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4,
+        ),
+        pg1,
+        pg2,
+    )
+
+
+def test_state_dict_without_factors() -> None:
+    _, _, precond, _, _, _ = _setup()
+    state = precond.init()
+    sd = precond.state_dict(state, include_factors=False)
+    assert 'layers' not in sd
+
+
+def test_memory_usage() -> None:
+    _, _, precond, _, _, _ = _setup()
+    state = precond.init()
+    mem = precond.memory_usage(state)
+    assert mem['a_factors'] > 0
+    assert mem['g_factors'] > 0
+    assert mem['total'] == sum(v for k, v in mem.items() if k != 'total')
+
+
+def test_callable_hyperparams() -> None:
+    from kfac_pytorch_tpu.hyperparams import exp_decay_factor_averaging
+
+    model, params, precond, loss_fn, x, y = _setup(
+        factor_decay=exp_decay_factor_averaging(),
+        damping=lambda s: 0.001,
+    )
+    state = precond.init()
+    fn = jax.jit(precond.value_and_grad(loss_fn))
+    step = jax.jit(precond.step)
+    _, grads, captured = fn(params, x, y)
+    # step 0 -> decay = min(1 - 1/1, 0.95) = 0.0 -> factor == captured cov
+    _, s1 = step(state, grads, captured)
+    key, idx = None, None
+    for bucket in precond.plan:
+        for i, spec in enumerate(bucket.specs):
+            if spec.name == 'Dense_0':
+                key, idx = bucket.key, i
+    np.testing.assert_allclose(
+        np.asarray(s1.buckets[key].a_factor[idx]),
+        np.asarray(captured['Dense_0'].a),
+        atol=1e-5,
+    )
+
+
+def test_validation_errors() -> None:
+    model = TinyModel()
+    x = jnp.zeros((4, 8))
+    with pytest.raises(ValueError):
+        KFACPreconditioner(model, example_args=(x,), factor_update_steps=0)
+    with pytest.raises(ValueError):
+        KFACPreconditioner(model, example_args=(x,), damping=-1.0)
+    with pytest.raises(ValueError):
+        KFACPreconditioner(model, example_args=(x,), factor_decay=1.5)
+    with pytest.raises(ValueError):
+        KFACPreconditioner(model, example_args=(x,), kl_clip=-1.0)
+    with pytest.raises(ValueError):
+        KFACPreconditioner(
+            model,
+            example_args=(x,),
+            colocate_factors=False,
+            compute_eigenvalue_outer_product=True,
+        )
+    with pytest.raises(ValueError):
+        KFACPreconditioner(model, example_args=(x,), skip_layers=['Dense'])
+    with pytest.raises(ValueError):
+        KFACPreconditioner()
