@@ -1,3 +1,9 @@
 """Mesh/sharding machinery for distributed K-FAC."""
 
 from __future__ import annotations
+
+from kfac_pytorch_tpu.parallel.strategy import kaisa_mesh as kaisa_mesh
+from kfac_pytorch_tpu.parallel.strategy import KAISASharding as KAISASharding
+from kfac_pytorch_tpu.parallel.strategy import (
+    resolve_grad_workers as resolve_grad_workers,
+)

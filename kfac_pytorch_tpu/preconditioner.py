@@ -134,6 +134,9 @@ class KFACPreconditioner:
         grad_scale: Callable[[], Any] | None = None,
         factor_dtype: Any = None,
         inv_dtype: Any = jnp.float32,
+        precondition_precision: str | jax.lax.Precision = (
+            jax.lax.Precision.HIGHEST
+        ),
         skip_layers: Sequence[str] = (),
         init_fn: Callable[..., Any] | None = None,
         loglevel: int = logging.DEBUG,
@@ -210,6 +213,17 @@ class KFACPreconditioner:
             jnp.float32
         )
         self.inv_dtype = inv_dtype
+        # Precision of the per-step preconditioning matmuls. HIGHEST is
+        # full f32 on the MXU (6 bf16 passes); 'high' (bf16x3) is ~2x
+        # faster with near-f32 accuracy -- the production setting. The
+        # factor covariance and eigh always run at full f32.
+        if isinstance(precondition_precision, str):
+            precondition_precision = {
+                'default': jax.lax.Precision.DEFAULT,
+                'high': jax.lax.Precision.HIGH,
+                'highest': jax.lax.Precision.HIGHEST,
+            }[precondition_precision.lower()]
+        self.precondition_precision = precondition_precision
         self.skip_layers = list(skip_layers)
 
         self._factor_update_steps = factor_update_steps
@@ -339,8 +353,39 @@ class KFACPreconditioner:
             )
             for bucket in self._plan
         }
-        state = KFACState(steps=jnp.zeros((), jnp.int32), buckets=buckets)
-        return self._constrain(state, 'factors')
+        for key, bs in buckets.items():
+            so = lambda x: (  # noqa: E731
+                None if x is None else self._constrain(x, 'second_order')
+            )
+            buckets[key] = bs.replace(
+                a_factor=self._constrain(bs.a_factor, 'factors'),
+                g_factor=self._constrain(bs.g_factor, 'factors'),
+                qa=so(bs.qa),
+                qg=so(bs.qg),
+                da=so(bs.da),
+                dg=so(bs.dg),
+                dgda=so(bs.dgda),
+                a_inv=so(bs.a_inv),
+                g_inv=so(bs.g_inv),
+            )
+        return KFACState(steps=jnp.zeros((), jnp.int32), buckets=buckets)
+
+    def should_update_factors(self, steps: int) -> bool:
+        """Python-side gating helper for the two-function fast path.
+
+        The reference's hooks only save statistics when
+        ``steps % factor_update_steps == 0`` (``base_preconditioner.py:
+        444-446``); callers that gate in Python (compiling a capture-free
+        train step for the off-steps) skip the capture FLOPs entirely.
+        Requires non-callable or Python-evaluable ``factor_update_steps``.
+        """
+        fus = _resolve(self._factor_update_steps, steps)
+        return steps % int(fus) == 0
+
+    def should_update_invs(self, steps: int) -> bool:
+        """Python-side gating for the inverse-update interval."""
+        ius = _resolve(self._inv_update_steps, steps)
+        return steps % int(ius) == 0
 
     # ------------------------------------------------------------------
     # Capture
@@ -384,10 +429,14 @@ class KFACPreconditioner:
                 [captured[s.name].g for s in bucket.specs],
             ).astype(bs.g_factor.dtype)
             out[bucket.key] = bs.replace(
-                a_factor=ema_update(bs.a_factor, a_stack, decay),
-                g_factor=ema_update(bs.g_factor, g_stack, decay),
+                a_factor=self._constrain(
+                    ema_update(bs.a_factor, a_stack, decay), 'factors',
+                ),
+                g_factor=self._constrain(
+                    ema_update(bs.g_factor, g_stack, decay), 'factors',
+                ),
             )
-        return self._constrain(out, 'factors')
+        return out
 
     def _compute_second_order(
         self,
@@ -395,6 +444,7 @@ class KFACPreconditioner:
         damping: Any,
     ) -> dict[str, BucketState]:
         out = {}
+        so = lambda x: self._constrain(x, 'second_order')  # noqa: E731
         for bucket in self._plan:
             bs = buckets[bucket.key]
             if self.compute_method == ComputeMethod.EIGEN:
@@ -405,19 +455,23 @@ class KFACPreconditioner:
                         1.0
                         / (dg[:, :, None] * da[:, None, :] + damping)
                     ).astype(self.inv_dtype)
-                    out[bucket.key] = bs.replace(qa=qa, qg=qg, dgda=dgda)
+                    out[bucket.key] = bs.replace(
+                        qa=so(qa), qg=so(qg), dgda=so(dgda),
+                    )
                 else:
-                    out[bucket.key] = bs.replace(qa=qa, qg=qg, da=da, dg=dg)
+                    out[bucket.key] = bs.replace(
+                        qa=so(qa), qg=so(qg), da=so(da), dg=so(dg),
+                    )
             else:
                 out[bucket.key] = bs.replace(
-                    a_inv=damped_inverse(
-                        bs.a_factor, damping, self.inv_dtype,
+                    a_inv=so(
+                        damped_inverse(bs.a_factor, damping, self.inv_dtype),
                     ),
-                    g_inv=damped_inverse(
-                        bs.g_factor, damping, self.inv_dtype,
+                    g_inv=so(
+                        damped_inverse(bs.g_factor, damping, self.inv_dtype),
                     ),
                 )
-        return self._constrain(out, 'second_order')
+        return out
 
     def _precondition_bucket(
         self,
@@ -432,12 +486,12 @@ class KFACPreconditioner:
             v1 = jnp.einsum(
                 'bji,bjk->bik', bs.qg, g32,
                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.precondition_precision,
             )
             v1 = jnp.einsum(
                 'bik,bkl->bil', v1, bs.qa,
                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.precondition_precision,
             )
             if self.prediv_eigenvalues:
                 v2 = v1 * bs.dgda
@@ -448,23 +502,23 @@ class KFACPreconditioner:
             pg = jnp.einsum(
                 'bij,bjk->bik', bs.qg, v2,
                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.precondition_precision,
             )
             pg = jnp.einsum(
                 'bik,blk->bil', pg, bs.qa,
                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.precondition_precision,
             )
         else:
             pg = jnp.einsum(
                 'bij,bjk->bik', bs.g_inv, g32,
                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.precondition_precision,
             )
             pg = jnp.einsum(
                 'bik,bkl->bil', pg, bs.a_inv,
                 preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.precondition_precision,
             )
         return pg
 

@@ -1,0 +1,163 @@
+"""Multi-device tests for KAISA sharding strategies on a virtual 8-CPU mesh.
+
+Counterpart of the reference's distributed layer tests
+(``tests/layers/layers_test.py`` across COMM/MEM-OPT) and training smoke
+(``tests/training_test.py`` at world sizes 1/2/4): here SPMD over an
+8-device mesh, asserting the sharded run matches the single-device run
+bit-for-tolerance and that state ends up with the expected shardings.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from kfac_pytorch_tpu import KFACPreconditioner
+from kfac_pytorch_tpu.enums import DistributedStrategy
+from kfac_pytorch_tpu.parallel import kaisa_mesh
+from kfac_pytorch_tpu.parallel import KAISASharding
+from kfac_pytorch_tpu.parallel import resolve_grad_workers
+
+
+class DeepMLP(nn.Module):
+    """8 identical hidden layers -> one bucket of 8 blocks (shardable)."""
+
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.width, name='inp')(x)
+        for i in range(8):
+            x = nn.relu(nn.Dense(self.width, name=f'h{i}')(x))
+        return nn.Dense(4, name='out')(x)
+
+
+def test_resolve_grad_workers() -> None:
+    assert resolve_grad_workers(8, DistributedStrategy.COMM_OPT) == 8
+    assert resolve_grad_workers(8, DistributedStrategy.MEM_OPT) == 1
+    assert resolve_grad_workers(8, DistributedStrategy.HYBRID_OPT) == 4
+    assert resolve_grad_workers(8, 0.25) == 2
+    assert resolve_grad_workers(8, 0.0) == 1
+    with pytest.raises(ValueError):
+        resolve_grad_workers(8, 1.5)
+    with pytest.raises(ValueError):
+        resolve_grad_workers(8, 0.4)
+
+
+def test_kaisa_mesh_shapes() -> None:
+    mesh = kaisa_mesh(0.5)
+    assert mesh.shape['kfac_row'] == 4
+    assert mesh.shape['kfac_col'] == 2
+    mesh = kaisa_mesh(DistributedStrategy.MEM_OPT)
+    assert mesh.shape['kfac_row'] == 1
+    assert mesh.shape['kfac_col'] == 8
+
+
+def _train_setup():
+    model = DeepMLP()
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 12))
+    y = jax.random.normal(jax.random.PRNGKey(1), (64, 4))
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        return jnp.mean((model.apply(p, bx) - by) ** 2)
+
+    return model, params, loss_fn, x, y
+
+
+def _run_steps(precond, params, loss_fn, x, y, n=3):
+    state = precond.init()
+    vag = jax.jit(precond.value_and_grad(loss_fn))
+    step = jax.jit(precond.step)
+    out = []
+    for _ in range(n):
+        (loss, _), grads, captured = vag(params, x, y)
+        pgrads, state = step(state, grads, captured)
+        params = jax.tree.map(lambda p, g: p - 0.1 * g, params, pgrads)
+        out.append(float(loss))
+    return out, params, state
+
+
+@pytest.mark.parametrize(
+    'fraction',
+    [
+        DistributedStrategy.COMM_OPT,
+        DistributedStrategy.HYBRID_OPT,
+        DistributedStrategy.MEM_OPT,
+        0.25,
+    ],
+)
+def test_sharded_matches_single_device(fraction) -> None:
+    model, params, loss_fn, x, y = _train_setup()
+
+    # Single-device baseline.
+    base = KFACPreconditioner(
+        model, example_args=(x,), lr=0.1, damping=0.003,
+    )
+    losses_ref, params_ref, _ = _run_steps(base, params, loss_fn, x, y)
+
+    # Sharded run: batch + state sharded over the KAISA mesh.
+    mesh = kaisa_mesh(fraction)
+    sharding = KAISASharding(mesh)
+    precond = KFACPreconditioner(
+        model,
+        example_args=(x,),
+        lr=0.1,
+        damping=0.003,
+        sharding=sharding,
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, sharding.data_spec()))
+    ys = jax.device_put(y, NamedSharding(mesh, sharding.data_spec()))
+    losses, params_out, state = _run_steps(precond, params, loss_fn, xs, ys)
+
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+        ),
+        params_out,
+        params_ref,
+    )
+
+    # The 8-block bucket's factors must actually be sharded: each device
+    # holds exactly one block (owner-computes layout over the full world).
+    bucket8 = next(b for b in precond.plan if b.n_blocks == 8)
+    a_factor = state.buckets[bucket8.key].a_factor
+    shard_blocks = {
+        s.data.shape[0] for s in a_factor.addressable_shards
+    }
+    assert shard_blocks == {1}, f'expected 1 block/device, got {shard_blocks}'
+
+
+def test_second_order_layout_matches_strategy() -> None:
+    """qa ends up column-sharded: replicated within grad-worker groups."""
+    model, params, loss_fn, x, y = _train_setup()
+    mesh = kaisa_mesh(0.5)  # rows=4 workers, cols=2
+    sharding = KAISASharding(mesh)
+    precond = KFACPreconditioner(
+        model, example_args=(x,), sharding=sharding,
+    )
+    _, _, state = _run_steps(precond, params, loss_fn, x, y, n=1)
+    bucket8 = next(b for b in precond.plan if b.n_blocks == 8)
+    qa = state.buckets[bucket8.key].qa
+    # Column-sharded on the block axis: 2 columns -> 4 blocks per device,
+    # replicated across the 4 rows (the grad-worker group).
+    shard_blocks = {s.data.shape[0] for s in qa.addressable_shards}
+    assert shard_blocks == {4}, f'expected 4 blocks/device, got {shard_blocks}'
+
+    assert sharding.broadcast_inverses()
+    assert sharding.broadcast_gradients()
+    assert sharding.grad_workers == 4
+    assert sharding.world_size == 8
+
+
+def test_kaisa_sharding_validates_axes() -> None:
+    mesh = kaisa_mesh(1.0)
+    with pytest.raises(ValueError):
+        KAISASharding(mesh, row_axis='nope')
