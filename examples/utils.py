@@ -1,0 +1,143 @@
+"""Shared example utilities.
+
+Counterpart of reference ``examples/utils.py:20-114`` of
+gpauloski/kfac-pytorch: metric averaging, label smoothing, LR schedule
+with warmup + step decay, and checkpoint bundling.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    'Metric',
+    'label_smooth_loss',
+    'create_lr_schedule',
+    'save_checkpoint',
+    'load_checkpoint',
+]
+
+
+class Metric:
+    """Running average meter.
+
+    Counterpart of the reference's allreduce-averaged ``Metric``
+    (``examples/utils.py:66-89``); on TPU the per-batch values are already
+    global (pjit computes the global-batch loss), so no extra collective is
+    needed -- accumulation happens on host floats.
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+        self.total = 0.0
+        self.n = 0
+
+    def update(self, val: float | jax.Array, n: int = 1) -> None:
+        self.total += float(val) * n
+        self.n += n
+
+    @property
+    def avg(self) -> float:
+        return self.total / max(self.n, 1)
+
+
+def label_smooth_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    smoothing: float = 0.1,
+) -> jax.Array:
+    """Label-smoothed cross entropy (reference ``LabelSmoothLoss``,
+    ``examples/utils.py:41-63``)."""
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes)
+    smoothed = one_hot * (1 - smoothing) + smoothing / num_classes
+    return optax.softmax_cross_entropy(logits, smoothed).mean()
+
+
+def create_lr_schedule(
+    base_lr: float,
+    warmup_epochs: int,
+    decay_epochs: Sequence[int],
+    decay_factor: float = 0.1,
+    steps_per_epoch: int = 1,
+) -> optax.Schedule:
+    """Linear warmup + step decay at given epochs (reference
+    ``create_lr_schedule``, ``examples/utils.py:92-114``)."""
+
+    def schedule(step: jax.Array) -> jax.Array:
+        epoch = step / steps_per_epoch
+        warm = jnp.minimum((epoch + 1) / max(warmup_epochs, 1e-8), 1.0)
+        factor = jnp.asarray(1.0)
+        for e in decay_epochs:
+            factor = factor * jnp.where(epoch >= e, decay_factor, 1.0)
+        return base_lr * jnp.where(warmup_epochs > 0, warm, 1.0) * factor
+
+    return schedule
+
+
+def save_checkpoint(
+    path: str,
+    *,
+    params: Any,
+    opt_state: Any,
+    kfac_state: Any = None,
+    extra: dict[str, Any] | None = None,
+) -> None:
+    """Bundle model/optimizer/preconditioner state into one Orbax dir.
+
+    Counterpart of reference ``save_checkpoint`` (``examples/utils.py:
+    20-38``) which torch.saves one file.
+    """
+    import orbax.checkpoint as ocp
+
+    payload: dict[str, Any] = {'params': params, 'opt_state': opt_state}
+    if kfac_state is not None:
+        from kfac_pytorch_tpu.checkpoint import _factors_only
+
+        payload['kfac'] = _factors_only(kfac_state)
+    if extra:
+        payload['extra'] = extra
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
+    """Restore a checkpoint bundle written by ``save_checkpoint``.
+
+    ``template`` may cover a subset of the saved keys (partial restore),
+    so callers can e.g. skip the K-FAC factors when resuming without the
+    preconditioner.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(
+                item=template,
+                partial_restore=True,
+            ),
+        )
+
+
+def latest_checkpoint(directory: str, prefix: str = 'ckpt_') -> str | None:
+    """Find the newest ``{prefix}{epoch}`` dir (reference resume-by-scan,
+    ``examples/torch_cifar10_resnet.py:313-317``)."""
+    if not os.path.isdir(directory):
+        return None
+    candidates = []
+    for name in os.listdir(directory):
+        if name.startswith(prefix):
+            try:
+                candidates.append((int(name[len(prefix):]), name))
+            except ValueError:
+                continue
+    if not candidates:
+        return None
+    return os.path.join(directory, max(candidates)[1])

@@ -1,0 +1,78 @@
+"""Optimizer + preconditioner construction from CLI args.
+
+Counterpart of reference ``examples/vision/optimizers.py:16-114`` of
+gpauloski/kfac-pytorch: builds SGD, the KFAC preconditioner (when
+``--kfac-update-freq > 0``), the LR schedule, and the KFAC param
+scheduler from parsed args.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any
+
+import optax
+
+from examples.utils import create_lr_schedule
+from kfac_pytorch_tpu import KFACPreconditioner
+from kfac_pytorch_tpu.scheduler import LambdaParamScheduler
+
+__all__ = ['get_optimizer']
+
+
+def get_optimizer(
+    model: Any,
+    example_input: Any,
+    args: argparse.Namespace,
+    steps_per_epoch: int,
+    sharding: Any = None,
+) -> tuple[Any, KFACPreconditioner | None, Any, LambdaParamScheduler | None]:
+    """Build (optax optimizer, preconditioner, lr schedule, kfac scheduler)."""
+    lr_schedule = create_lr_schedule(
+        args.base_lr,
+        warmup_epochs=args.warmup_epochs,
+        decay_epochs=args.lr_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(args.weight_decay),
+        optax.sgd(lr_schedule, momentum=args.momentum),
+    )
+
+    if args.kfac_inv_update_steps <= 0:
+        return tx, None, lr_schedule, None
+
+    # lr callable wired to the same schedule, mirroring the reference's
+    # ``lr=lambda x: optimizer.param_groups[0]['lr']``
+    # (examples/vision/optimizers.py:63).
+    precond = KFACPreconditioner(
+        model,
+        example_args=(example_input,),
+        factor_update_steps=args.kfac_factor_update_steps,
+        inv_update_steps=args.kfac_inv_update_steps,
+        damping=args.kfac_damping,
+        factor_decay=args.kfac_factor_decay,
+        kl_clip=args.kfac_kl_clip,
+        lr=lambda step: lr_schedule(step),
+        accumulation_steps=args.batches_per_allreduce,
+        colocate_factors=args.kfac_colocate_factors,
+        compute_method=args.kfac_compute_method,
+        compute_eigenvalue_outer_product=(
+            args.kfac_compute_eigenvalue_outer_product
+        ),
+        grad_worker_fraction=args.kfac_worker_fraction,
+        sharding=sharding,
+        skip_layers=args.kfac_skip_layers,
+    )
+
+    kfac_scheduler = None
+    if args.kfac_damping_decay:
+        kfac_scheduler = LambdaParamScheduler(
+            precond,
+            damping_lambda=lambda epoch: (
+                args.kfac_damping_alpha
+                if epoch in args.kfac_damping_decay
+                else 1.0
+            ),
+        )
+    return tx, precond, lr_schedule, kfac_scheduler

@@ -93,19 +93,38 @@ def kaisa_mesh(
         DistributedStrategy.COMM_OPT
     ),
     devices: Any = None,
+    model_axis_size: int = 1,
 ) -> Mesh:
-    """Build the (kfac_row x kfac_col) KAISA mesh over the data-parallel world.
+    """Build the (kfac_row x kfac_col [x model]) KAISA mesh.
 
     ``kfac_row`` has size ``grad_workers``; a grad-worker group is the set
     of devices sharing a ``kfac_col`` coordinate. Shard the data batch over
-    BOTH axes (``KAISASharding.data_spec()``) for pure data parallelism.
+    BOTH kfac axes (``KAISASharding.data_spec()``) for data parallelism.
+
+    With ``model_axis_size > 1`` a trailing ``model`` axis is added for
+    tensor parallelism (the TPU counterpart of the reference's GPT-NeoX
+    TP integration, ``kfac/gpt_neox/``): shard layer kernels over
+    ``model``; the K-FAC factor contraction and preconditioning operate on
+    the logically global arrays and XLA inserts the TP collectives -- no
+    gather-to-primary-rank machinery needed
+    (cf. ``kfac/gpt_neox/layer.py:129-163``).
     """
     if devices is None:
         devices = jax.devices()
     world = len(devices)
-    workers = resolve_grad_workers(world, grad_worker_fraction)
-    grid = np.asarray(devices).reshape(workers, world // workers)
-    return Mesh(grid, ('kfac_row', 'kfac_col'))
+    if world % model_axis_size != 0:
+        raise ValueError(
+            f'world size {world} not divisible by '
+            f'model_axis_size {model_axis_size}',
+        )
+    data_world = world // model_axis_size
+    workers = resolve_grad_workers(data_world, grad_worker_fraction)
+    grid = np.asarray(devices).reshape(
+        workers, data_world // workers, model_axis_size,
+    )
+    if model_axis_size == 1:
+        return Mesh(grid[:, :, 0], ('kfac_row', 'kfac_col'))
+    return Mesh(grid, ('kfac_row', 'kfac_col', 'model'))
 
 
 class KAISASharding:

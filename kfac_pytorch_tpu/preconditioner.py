@@ -370,6 +370,15 @@ class KFACPreconditioner:
             )
         return KFACState(steps=jnp.zeros((), jnp.int32), buckets=buckets)
 
+    def as_gradient_transformation(self) -> Any:
+        """Wrap this preconditioner as an optax transformation.
+
+        See ``kfac_pytorch_tpu.optim.kfac_transform``.
+        """
+        from kfac_pytorch_tpu.optim import kfac_transform
+
+        return kfac_transform(self)
+
     def should_update_factors(self, steps: int) -> bool:
         """Python-side gating helper for the two-function fast path.
 
