@@ -64,6 +64,10 @@ def build() -> tuple[Any, ...]:
         # bf16x3 MXU passes: ~f32 accuracy (<=2e-5 rel vs HIGHEST) at
         # substantially higher throughput on the small precondition matmuls.
         precondition_precision='high',
+        # Covariances contracted in bf16 (f32 accumulate) -- the
+        # production TPU setting, equivalent to the reference's
+        # compute-in-training-dtype semantics under AMP.
+        factor_compute_dtype='bfloat16',
     )
     return model, params, batch_stats, precond, loss_fn, x, y
 

@@ -42,6 +42,12 @@ class LayerHelper:
     out_features: int
     has_bias: bool
     factor_dtype: Any = None  # None -> keep training dtype
+    # dtype the covariance CONTRACTION runs in (accumulation is always
+    # f32 via preferred_element_type). None keeps the activation dtype --
+    # the reference's behavior (factors computed in training dtype,
+    # kfac/layers/base.py:345-373). bf16 is the production TPU setting:
+    # MXU-native single-pass matmuls, f32 statistics out.
+    compute_dtype: Any = None
 
     @property
     def a_factor_shape(self) -> tuple[int, int]:
@@ -71,9 +77,27 @@ class LayerHelper:
     def set_grad(self, grads: Grads, matrix: jax.Array) -> Grads:
         raise NotImplementedError
 
+    def get_grad_t(self, grads: Grads) -> jax.Array:
+        """Gradient matrix in the TRANSPOSED layout ``(in [+1], out)``.
+
+        This is the natural flax kernel layout, so no transposes are
+        materialized; the engine preconditions with the transposed
+        formulation ``Qa [(Qa^T M Qg) / (da dg^T + damping)] Qg^T``
+        (identical math to the reference's ``(out, in)`` convention).
+        """
+        raise NotImplementedError
+
+    def set_grad_t(self, grads: Grads, matrix: jax.Array) -> Grads:
+        raise NotImplementedError
+
     def _maybe_cast(self, x: jax.Array) -> jax.Array:
         if self.factor_dtype is not None:
             return x.astype(self.factor_dtype)
+        return x
+
+    def _compute_cast(self, x: jax.Array) -> jax.Array:
+        if self.compute_dtype is not None:
+            return x.astype(self.compute_dtype)
         return x
 
 
@@ -88,14 +112,14 @@ class LinearHelper(LayerHelper):
     """
 
     def get_a_factor(self, a: jax.Array) -> jax.Array:
-        a = self._maybe_cast(a)
+        a = self._compute_cast(self._maybe_cast(a))
         a = a.reshape(-1, a.shape[-1])
         if self.has_bias:
             a = append_bias_ones(a)
         return get_cov(a)
 
     def get_g_factor(self, g: jax.Array) -> jax.Array:
-        g = self._maybe_cast(g)
+        g = self._compute_cast(self._maybe_cast(g))
         g = g.reshape(-1, g.shape[-1])
         return get_cov(g)
 
@@ -115,6 +139,21 @@ class LinearHelper(LayerHelper):
             out['kernel'] = matrix.T.astype(grads['kernel'].dtype)
         return out
 
+    def get_grad_t(self, grads: Grads) -> jax.Array:
+        g = grads['kernel']  # (in, out) -- already the transposed layout
+        if self.has_bias:
+            g = jnp.concatenate([g, grads['bias'][None, :]], axis=0)
+        return g
+
+    def set_grad_t(self, grads: Grads, matrix: jax.Array) -> Grads:
+        out = dict(grads)
+        if self.has_bias:
+            out['kernel'] = matrix[:-1].astype(grads['kernel'].dtype)
+            out['bias'] = matrix[-1].astype(grads['bias'].dtype)
+        else:
+            out['kernel'] = matrix.astype(grads['kernel'].dtype)
+        return out
+
 
 @dataclasses.dataclass(frozen=True)
 class Conv2dHelper(LayerHelper):
@@ -131,9 +170,31 @@ class Conv2dHelper(LayerHelper):
     kernel_size: tuple[int, int] = (1, 1)
     strides: tuple[int, int] = (1, 1)
     padding: Any = 'SAME'
+    # Optional fused Pallas im2col-covariance kernel (stride-1 convs on
+    # TPU). The default XLA path materializes patches behind an
+    # optimization barrier -- fusing the patch gather into the covariance
+    # matmul measured ~10x slower in large training graphs.
+    use_pallas: bool = False
 
     def get_a_factor(self, a: jax.Array) -> jax.Array:
-        a = self._maybe_cast(a)
+        a = self._compute_cast(self._maybe_cast(a))
+        if (
+            self.use_pallas
+            and self.strides == (1, 1)  # Mosaic: no strided vector slices
+            and a.shape[-1] >= 16  # tiny channel counts waste VMEM lanes
+            and jax.default_backend() == 'tpu'
+        ):
+            from kfac_pytorch_tpu.ops.pallas.conv_cov import (
+                conv2d_a_factor_fused,
+            )
+
+            return conv2d_a_factor_fused(
+                a,
+                self.kernel_size,
+                self.strides,
+                self.padding,
+                has_bias=self.has_bias,
+            )
         patches = extract_conv2d_patches(
             a,
             self.kernel_size,
@@ -145,11 +206,15 @@ class Conv2dHelper(LayerHelper):
         if self.has_bias:
             p = append_bias_ones(p)
         p = p / spatial_size
+        # Keep the patch slab materialized: without the barrier XLA fuses
+        # the im2col gather into the covariance matmul operand, which
+        # measured ~10x slower inside large training graphs on TPU.
+        p = jax.lax.optimization_barrier(p)
         return get_cov(p)
 
     def get_g_factor(self, g: jax.Array) -> jax.Array:
         # g: (batch, out_h, out_w, out_channels) -- already channels-last.
-        g = self._maybe_cast(g)
+        g = self._compute_cast(self._maybe_cast(g))
         spatial_size = g.shape[1] * g.shape[2]
         g2 = g.reshape(-1, g.shape[-1]) / spatial_size
         return get_cov(g2)
@@ -174,5 +239,26 @@ class Conv2dHelper(LayerHelper):
         else:
             out['kernel'] = (
                 matrix.T.reshape(kshape).astype(grads['kernel'].dtype)
+            )
+        return out
+
+    def get_grad_t(self, grads: Grads) -> jax.Array:
+        k = grads['kernel']  # (kh, kw, in, out)
+        g = k.reshape(-1, k.shape[-1])  # (kh*kw*in, out) -- no transpose
+        if self.has_bias:
+            g = jnp.concatenate([g, grads['bias'][None, :]], axis=0)
+        return g
+
+    def set_grad_t(self, grads: Grads, matrix: jax.Array) -> Grads:
+        out = dict(grads)
+        kshape = grads['kernel'].shape
+        if self.has_bias:
+            out['kernel'] = (
+                matrix[:-1].reshape(kshape).astype(grads['kernel'].dtype)
+            )
+            out['bias'] = matrix[-1].astype(grads['bias'].dtype)
+        else:
+            out['kernel'] = (
+                matrix.reshape(kshape).astype(grads['kernel'].dtype)
             )
         return out

@@ -83,6 +83,7 @@ def get_module_helper(
     module: nn.Module,
     input_shape: tuple[int, ...],
     factor_dtype: Any = None,
+    compute_dtype: Any = None,
 ) -> tuple[str, LayerHelper] | None:
     """Build a helper for a supported flax module, else None.
 
@@ -97,6 +98,7 @@ def get_module_helper(
                 out_features=int(module.features),
                 has_bias=bool(module.use_bias),
                 factor_dtype=factor_dtype,
+                compute_dtype=compute_dtype,
             ),
         )
     if isinstance(module, nn.Conv):
@@ -114,6 +116,7 @@ def get_module_helper(
                 out_features=int(module.features),
                 has_bias=bool(module.use_bias),
                 factor_dtype=factor_dtype,
+                compute_dtype=compute_dtype,
                 kernel_size=kernel_size,  # type: ignore[arg-type]
                 strides=strides,
                 padding=module.padding,
@@ -127,6 +130,7 @@ def register_modules(
     *example_args: Any,
     skip_layers: Sequence[str] = (),
     factor_dtype: Any = None,
+    factor_compute_dtype: Any = None,
     init_fn: Callable[..., Any] | None = None,
     **example_kwargs: Any,
 ) -> dict[str, LayerSpec]:
@@ -162,7 +166,12 @@ def register_modules(
         x = args[0]
         if not hasattr(x, 'shape'):
             return next_fun(*args, **kwargs)
-        helper_info = get_module_helper(module, tuple(x.shape), factor_dtype)
+        helper_info = get_module_helper(
+            module,
+            tuple(x.shape),
+            factor_dtype,
+            factor_compute_dtype,
+        )
         if helper_info is not None:
             module_type, helper = helper_info
             if name in specs:

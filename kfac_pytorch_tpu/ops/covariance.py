@@ -69,13 +69,21 @@ def get_cov(
     if scale is None:
         scale = a.shape[0]
     rhs = a if b is None else b
+    # bf16 operands are exact in a single MXU pass (f32 accumulate), so
+    # HIGHEST (which would emulate an f32 contraction) only applies to
+    # f32+ inputs.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(a.dtype).itemsize >= 4
+        else jax.lax.Precision.DEFAULT
+    )
     cov = jax.lax.dot_general(
         a,
         rhs / scale,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(a.dtype)
+        precision=precision,
+    ).astype(jnp.promote_types(a.dtype, jnp.float32))
     if b is None:
         cov = (cov + cov.T) / 2.0
     return cov

@@ -4,10 +4,16 @@ The TPU counterpart of the reference's CUDA-adjacent hot path: the conv
 activation covariance (``kfac/layers/modules.py:170-178`` of
 gpauloski/kfac-pytorch computes ``unfold`` -> scale -> ``a^T a``). A naive
 XLA lowering materializes the patch matrix in HBM -- ``kh*kw`` times the
-activation bytes -- and (when fused into a large training graph) can
-degrade the covariance matmul badly. This kernel streams image tiles
-through VMEM, forms the patch slab on-chip, and accumulates ``P^T P`` on
+activation bytes -- and the tall-skinny covariance contraction it then
+feeds runs far below MXU speed-of-light. This kernel streams image tiles
+through VMEM, forms the patch slab in registers with a single lane
+concatenate (no misaligned scatter stores), and accumulates ``P^T P`` on
 the MXU in float32, so HBM sees each activation byte exactly once.
+
+The homogeneous bias row/column is assembled analytically outside the
+kernel from the patch column-sums (``Q = [P, s*1]`` gives cross term
+``s * colsum(P) / R`` and corner ``s^2``), avoiding width-1 lane
+operations on the TPU.
 
 Semantics exactly match ``Conv2dHelper.get_a_factor``:
 ``cov = Q^T Q / R`` where ``Q = [patches, 1] / spatial_size`` and
@@ -32,61 +38,62 @@ __all__ = ['conv2d_a_factor_fused']
 
 def _cov_kernel(
     x_ref,  # (TN, Hp, Wp, C) VMEM input tile (already padded)
-    out_ref,  # (d, d) f32 output (incl. bias row/col when has_bias)
-    patch_ref,  # (TN*oh*ow, d) VMEM scratch patch slab
-    acc_ref,  # (d, d) f32 scratch accumulator
+    cov_ref,  # (d0, d0) f32 output
+    sum_ref,  # (8, d0) f32 output, row 0 = column sums of P
+    win_ref,  # (d0, TN*oh*ow) scratch: transposed patch slab
+    acc_ref,  # (d0, d0) f32 scratch accumulator
+    sacc_ref,  # (8, d0) f32 scratch column-sum accumulator
     *,
     kernel_size: tuple[int, int],
-    strides: tuple[int, int],
     out_hw: tuple[int, int],
-    has_bias: bool,
     inv_spatial: float,
     inv_rows: float,
+    need_sums: bool,
 ) -> None:
     kh, kw = kernel_size
-    sh, sw = strides
     out_h, out_w = out_hw
     tn = x_ref.shape[0]
     c = x_ref.shape[3]
     rows = tn * out_h * out_w
-    d0 = kh * kw * c
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        if need_sums:
+            sacc_ref[...] = jnp.zeros_like(sacc_ref)
 
     x = x_ref[...] * jnp.asarray(inv_spatial, x_ref.dtype)
-    # Build the patch slab in VMEM: column block (i*kw+j) holds the
-    # (kh=i, kw=j) shifted window -> feature order (kh, kw, c), matching
-    # flax kernel flattening. Each slice reshape only collapses leading
-    # dims (Mosaic-supported shape cast). The homogeneous bias coordinate
-    # is a constant last column.
+    # Build the TRANSPOSED patch slab (d0, rows): window (i, j) occupies
+    # sublane rows [k*c, (k+1)*c) -- fully aligned stores, large minor
+    # dim (rows), so no VMEM lane waste for small channel counts. The
+    # feature order (kh, kw, c) matches flax kernel flattening.
     for i in range(kh):
         for j in range(kw):
             s = jax.lax.slice(
                 x,
                 (0, i, j, 0),
-                (tn, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, c),
-                (1, sh, sw, 1),
+                (tn, i + out_h, j + out_w, c),
             )
             k = i * kw + j
-            patch_ref[:, k * c:(k + 1) * c] = s.reshape(rows, c)
-    if has_bias:
-        patch_ref[:, d0:d0 + 1] = jnp.full(
-            (rows, 1), inv_spatial, patch_ref.dtype,
-        )
-    p = patch_ref[...]
+            win_ref[k * c:(k + 1) * c, :] = s.reshape(rows, c).T
+    p_t = win_ref[...]  # (d0, rows)
     acc_ref[...] += jax.lax.dot_general(
-        p,
-        p,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        p_t,
+        p_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if need_sums:
+        sacc_ref[0, :] += jnp.sum(p_t, axis=1, dtype=jnp.float32)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _finish():
         cov = acc_ref[...] * inv_rows
-        out_ref[...] = (cov + cov.T) / 2.0
+        cov_ref[...] = (cov + cov.T) / 2.0
+        if need_sums:
+            sum_ref[...] = sacc_ref[...]
+        else:
+            sum_ref[...] = jnp.zeros_like(sum_ref)
 
 
 def conv2d_a_factor_fused(
@@ -101,24 +108,30 @@ def conv2d_a_factor_fused(
 
     Args:
         x: NHWC activations.
-        kernel_size/strides/padding: conv geometry (flax conventions).
+        kernel_size/strides/padding: conv geometry (flax conventions);
+            only ``strides=(1, 1)`` is supported (Mosaic has no strided
+            vector slices) -- use the XLA helper path otherwise.
         has_bias: append the homogeneous bias coordinate.
-        batch_tile: images per grid step (auto-sized for ~4MB of VMEM
-            patch slab when None).
+        batch_tile: images per grid step (auto-sized for VMEM when None).
 
     Returns:
         ``(d, d)`` float32 factor, ``d = kh*kw*C + has_bias``.
     """
     if x.ndim != 4:
         raise ValueError(f'Expected NHWC input, got {x.shape}')
+    if tuple(strides) != (1, 1):
+        raise NotImplementedError(
+            'conv2d_a_factor_fused supports strides=(1, 1) only (Mosaic '
+            'has no strided vector slices); use the XLA helper path for '
+            'strided convolutions.',
+        )
     n, h, w, c = x.shape
     kh, kw = kernel_size
     pad = _normalize_padding(padding)
     out_h, out_w = conv2d_out_shape((h, w), kernel_size, strides, padding)
     if pad == 'SAME':
-        sh, sw = strides
-        pad_h = max((out_h - 1) * sh + kh - h, 0)
-        pad_w = max((out_w - 1) * sw + kw - w, 0)
+        pad_h = max(out_h - 1 + kh - h, 0)
+        pad_w = max(out_w - 1 + kw - w, 0)
         pad = (
             (pad_h // 2, pad_h - pad_h // 2),
             (pad_w // 2, pad_w - pad_w // 2),
@@ -130,15 +143,32 @@ def conv2d_a_factor_fused(
         x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
     hp, wp = x.shape[1], x.shape[2]
 
-    d = kh * kw * c + int(has_bias)
+    d0 = kh * kw * c
+    d = d0 + int(has_bias)
     spatial = out_h * out_w
+    inv_spatial = 1.0 / spatial
+
+    def _padded_bytes(shape: tuple[int, ...], itemsize: int) -> int:
+        # VMEM tiles are (8, 128): minor dim pads to 128 lanes, second
+        # minor to 8 sublanes; small channel counts cost far more VMEM
+        # than their logical size.
+        lanes = -(-shape[-1] // 128) * 128
+        subl = -(-shape[-2] // 8) * 8 if len(shape) >= 2 else 1
+        lead = 1
+        for s in shape[:-2]:
+            lead *= s
+        return lead * subl * lanes * itemsize
 
     if batch_tile is None:
-        # target <= ~4MB patch slab per step
-        slab_row_bytes = d * x.dtype.itemsize
-        batch_tile = max(1, (4 * 2**20) // max(spatial * slab_row_bytes, 1))
-        batch_tile = min(batch_tile, n)
-        while n % batch_tile != 0:
+        def vmem_cost(tile: int) -> int:
+            xb = _padded_bytes((tile, hp, wp, c), x.dtype.itemsize)
+            slab = _padded_bytes((d0, tile * spatial), x.dtype.itemsize)
+            return 2 * xb + 2 * slab
+
+        batch_tile = n
+        while batch_tile > 1 and (
+            n % batch_tile != 0 or vmem_cost(batch_tile) > 8 * 2**20
+        ):
             batch_tile -= 1
 
     if n % batch_tile != 0:
@@ -150,14 +180,12 @@ def conv2d_a_factor_fused(
     kernel = functools.partial(
         _cov_kernel,
         kernel_size=kernel_size,
-        strides=strides,
         out_hw=(out_h, out_w),
-        has_bias=has_bias,
-        inv_spatial=1.0 / spatial,
+        inv_spatial=inv_spatial,
         inv_rows=1.0 / (n * spatial),
+        need_sums=has_bias,
     )
-    d0 = kh * kw * c
-    return pl.pallas_call(
+    cov0, sums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -167,19 +195,31 @@ def conv2d_a_factor_fused(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (d, d),
-            lambda i: (0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec((d0, d0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d0), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((d0, d0), jnp.float32),
+            jax.ShapeDtypeStruct((8, d0), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((batch_tile * out_h * out_w, d), x.dtype),
-            pltpu.VMEM((d, d), jnp.float32),
+            pltpu.VMEM((d0, batch_tile * spatial), x.dtype),
+            pltpu.VMEM((d0, d0), jnp.float32),
+            pltpu.VMEM((8, d0), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * spatial * d * d,
-            bytes_accessed=x.size * x.dtype.itemsize + 4 * d * d,
+            flops=2 * n * spatial * d0 * d0,
+            bytes_accessed=x.size * x.dtype.itemsize + 4 * d0 * d0,
             transcendentals=0,
         ),
     )(x)
+    if not has_bias:
+        return cov0
+    # Assemble homogeneous bias row/col: Q = [P, inv_spatial * 1].
+    rows_total = n * spatial
+    cross = sums[0] * (inv_spatial / rows_total)
+    corner = jnp.asarray(inv_spatial * inv_spatial, jnp.float32)
+    top = jnp.concatenate([cov0, cross[:, None]], axis=1)
+    bottom = jnp.concatenate([cross, corner[None]])[None, :]
+    return jnp.concatenate([top, bottom], axis=0)

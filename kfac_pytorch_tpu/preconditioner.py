@@ -133,6 +133,7 @@ class KFACPreconditioner:
         # Other
         grad_scale: Callable[[], Any] | None = None,
         factor_dtype: Any = None,
+        factor_compute_dtype: Any = None,
         inv_dtype: Any = jnp.float32,
         precondition_precision: str | jax.lax.Precision = (
             jax.lax.Precision.HIGHEST
@@ -181,6 +182,7 @@ class KFACPreconditioner:
                 *example_args,
                 skip_layers=skip_layers,
                 factor_dtype=factor_dtype,
+                factor_compute_dtype=factor_compute_dtype,
                 init_fn=init_fn,
                 **(example_kwargs or {}),
             )
@@ -209,6 +211,7 @@ class KFACPreconditioner:
         self.accumulation_steps = accumulation_steps
         self.grad_scale = grad_scale
         self.factor_dtype = factor_dtype
+        self.factor_compute_dtype = factor_compute_dtype
         self.store_dtype = factor_dtype if factor_dtype is not None else (
             jnp.float32
         )
@@ -460,9 +463,11 @@ class KFACPreconditioner:
                 qa, da = eigh_factor(bs.a_factor, self.inv_dtype)
                 qg, dg = eigh_factor(bs.g_factor, self.inv_dtype)
                 if self.prediv_eigenvalues:
+                    # (B, a_dim, g_dim): transposed-prediv layout matching
+                    # the (in, out) gradient convention.
                     dgda = (
                         1.0
-                        / (dg[:, :, None] * da[:, None, :] + damping)
+                        / (da[:, :, None] * dg[:, None, :] + damping)
                     ).astype(self.inv_dtype)
                     out[bucket.key] = bs.replace(
                         qa=so(qa), qg=so(qg), dgda=so(dgda),
@@ -489,46 +494,33 @@ class KFACPreconditioner:
         grad_mats: jax.Array,
         damping: Any,
     ) -> jax.Array:
-        """Batched preconditioning of a [B, g_dim, a_dim] gradient stack."""
+        """Batched preconditioning of a [B, a_dim, g_dim] gradient stack.
+
+        Transposed formulation of reference ``kfac/layers/eigen.py:350-385``
+        (identical math): gradients stay in the natural flax ``(in, out)``
+        layout so no transposes are materialized:
+        ``M_hat = Qa [(Qa^T M Qg) / (da dg^T + damping)] Qg^T``.
+        """
         g32 = grad_mats.astype(self.inv_dtype)
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=self.precondition_precision,
+        )
         if self.compute_method == ComputeMethod.EIGEN:
-            v1 = jnp.einsum(
-                'bji,bjk->bik', bs.qg, g32,
-                preferred_element_type=jnp.float32,
-            precision=self.precondition_precision,
-            )
-            v1 = jnp.einsum(
-                'bik,bkl->bil', v1, bs.qa,
-                preferred_element_type=jnp.float32,
-            precision=self.precondition_precision,
-            )
+            v1 = jnp.einsum('bji,bjk->bik', bs.qa, g32, **kw)  # qa^T M
+            v1 = jnp.einsum('bik,bkl->bil', v1, bs.qg, **kw)  # ... qg
             if self.prediv_eigenvalues:
                 v2 = v1 * bs.dgda
             else:
                 v2 = v1 / (
-                    bs.dg[:, :, None] * bs.da[:, None, :] + damping
+                    bs.da[:, :, None] * bs.dg[:, None, :] + damping
                 )
-            pg = jnp.einsum(
-                'bij,bjk->bik', bs.qg, v2,
-                preferred_element_type=jnp.float32,
-            precision=self.precondition_precision,
-            )
-            pg = jnp.einsum(
-                'bik,blk->bil', pg, bs.qa,
-                preferred_element_type=jnp.float32,
-            precision=self.precondition_precision,
-            )
+            pg = jnp.einsum('bij,bjk->bik', bs.qa, v2, **kw)  # qa v2
+            pg = jnp.einsum('bik,blk->bil', pg, bs.qg, **kw)  # ... qg^T
         else:
-            pg = jnp.einsum(
-                'bij,bjk->bik', bs.g_inv, g32,
-                preferred_element_type=jnp.float32,
-            precision=self.precondition_precision,
-            )
-            pg = jnp.einsum(
-                'bik,bkl->bil', pg, bs.a_inv,
-                preferred_element_type=jnp.float32,
-            precision=self.precondition_precision,
-            )
+            # (A^-1 M) G^-1 with symmetric inverses.
+            pg = jnp.einsum('bij,bjk->bik', bs.a_inv, g32, **kw)
+            pg = jnp.einsum('bik,bkl->bil', pg, bs.g_inv, **kw)
         return pg
 
     def step(
@@ -595,7 +587,7 @@ class KFACPreconditioner:
         for bucket in self._plan:
             grad_mats = jnp.stack(
                 [
-                    spec.helper.get_grad(
+                    spec.helper.get_grad_t(
                         get_subtree(root, self._paths[spec.name]),
                     )
                     for spec in bucket.specs
@@ -631,7 +623,7 @@ class KFACPreconditioner:
                 root = set_subtree(
                     root,
                     path,
-                    spec.helper.set_grad(sub, pg[i]),
+                    spec.helper.set_grad_t(sub, pg[i]),
                 )
 
         if root is not grads and isinstance(grads, dict) and 'params' in grads:

@@ -41,8 +41,10 @@ class BucketState:
     qg: jax.Array | None = None
     da: jax.Array | None = None  # [B, da] eigenvalues
     dg: jax.Array | None = None  # [B, dg] eigenvalues
-    # Precomputed 1/(outer(dg, da) + damping), [B, dg, da]
-    # (prediv_eigenvalues fast path, reference kfac/layers/eigen.py:345-348).
+    # Precomputed 1/(outer(da, dg) + damping), [B, da, dg] -- the
+    # transposed layout of the reference's prediv_eigenvalues fast path
+    # (kfac/layers/eigen.py:345-348), matching the engine's transpose-free
+    # (in, out) gradient convention.
     dgda: jax.Array | None = None
     # Inverse method state.
     a_inv: jax.Array | None = None
@@ -93,7 +95,7 @@ def init_bucket_state(
                 g_factor=g_factor,
                 qa=qa,
                 qg=qg,
-                dgda=jnp.ones((n_blocks, g_dim, a_dim), dtype=inv_dtype),
+                dgda=jnp.ones((n_blocks, a_dim, g_dim), dtype=inv_dtype),
             )
         return BucketState(
             a_factor=a_factor,

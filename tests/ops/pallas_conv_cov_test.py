@@ -20,7 +20,6 @@ from kfac_pytorch_tpu.ops.pallas.conv_cov import conv2d_a_factor_fused
     'shape,ks,strides,padding',
     [
         ((8, 8, 8, 3), (3, 3), (1, 1), 'SAME'),
-        ((8, 9, 9, 4), (3, 3), (2, 2), 'SAME'),
         ((4, 10, 10, 2), (5, 5), (1, 1), 'VALID'),
         ((8, 8, 8, 3), (1, 1), (1, 1), 'VALID'),
     ],
@@ -52,3 +51,5 @@ def test_fused_batch_tile_validation() -> None:
         conv2d_a_factor_fused(x, (3, 3), batch_tile=4)
     with pytest.raises(ValueError):
         conv2d_a_factor_fused(jnp.zeros((4, 4)), (3, 3))
+    with pytest.raises(NotImplementedError):
+        conv2d_a_factor_fused(x, (3, 3), strides=(2, 2))
