@@ -1,0 +1,115 @@
+"""Tests for LambdaParamScheduler + hyperparam schedules + tracing
+(counterpart of reference ``tests/scheduler_test.py``,
+``tests/hyperparams_test.py``, ``tests/tracing_test.py``)."""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfac_pytorch_tpu import KFACPreconditioner
+from kfac_pytorch_tpu.hyperparams import exp_decay_factor_averaging
+from kfac_pytorch_tpu.models import TinyModel
+from kfac_pytorch_tpu.scheduler import LambdaParamScheduler
+from kfac_pytorch_tpu.tracing import clear_trace
+from kfac_pytorch_tpu.tracing import get_trace
+from kfac_pytorch_tpu.tracing import log_trace
+from kfac_pytorch_tpu.tracing import trace
+
+
+def _precond(**kw) -> KFACPreconditioner:
+    return KFACPreconditioner(
+        TinyModel(),
+        example_args=(jnp.zeros((2, 8)),),
+        **kw,
+    )
+
+
+def test_scheduler_multiplies_params() -> None:
+    precond = _precond(
+        damping=0.01,
+        factor_update_steps=4,
+        inv_update_steps=8,
+        kl_clip=0.002,
+        lr=0.1,
+        factor_decay=0.9,
+    )
+    sched = LambdaParamScheduler(
+        precond,
+        damping_lambda=lambda step: 0.5,
+        factor_update_steps_lambda=lambda step: 2,
+        inv_update_steps_lambda=lambda step: 2,
+        kl_clip_lambda=lambda step: 0.5,
+        lr_lambda=lambda step: 0.1,
+        factor_decay_lambda=lambda step: 1.0,
+    )
+    sched.step()
+    assert precond._damping == pytest.approx(0.005)
+    assert precond._factor_update_steps == 8
+    assert precond._inv_update_steps == 16
+    assert precond._kl_clip == pytest.approx(0.001)
+    assert precond._lr == pytest.approx(0.01)
+    assert precond._factor_decay == pytest.approx(0.9)
+
+
+def test_scheduler_rejects_callable_params() -> None:
+    precond = _precond(damping=lambda s: 0.01)
+    with pytest.raises(ValueError):
+        LambdaParamScheduler(precond, damping_lambda=lambda s: 0.5)
+
+
+def test_scheduler_step_override() -> None:
+    precond = _precond(lr=1.0)
+    factors = {0: 1.0, 5: 0.1}
+    sched = LambdaParamScheduler(
+        precond,
+        lr_lambda=lambda step: factors.get(step, 1.0),
+    )
+    sched.step(step=5)
+    assert precond._lr == pytest.approx(0.1)
+
+
+def test_exp_decay_factor_averaging() -> None:
+    fn = exp_decay_factor_averaging()
+    assert fn(0) == 0.0  # k=0 treated as k=1 -> 1 - 1/1
+    assert fn(1) == 0.0
+    assert fn(2) == pytest.approx(0.5)
+    assert fn(100) == pytest.approx(0.95)  # capped
+    with pytest.raises(ValueError):
+        fn(-1)
+    with pytest.raises(ValueError):
+        exp_decay_factor_averaging(0.0)
+    # traced/jnp input path
+    out = fn(jnp.asarray(2))
+    np.testing.assert_allclose(float(out), 0.5, rtol=1e-6)
+
+
+def test_trace_decorator() -> None:
+    clear_trace()
+
+    @trace()
+    def slow_fn() -> int:
+        time.sleep(0.01)
+        return 42
+
+    @trace(sync=True)
+    def jax_fn() -> jnp.ndarray:
+        return jnp.ones(4).sum()
+
+    assert slow_fn() == 42
+    assert slow_fn() == 42
+    assert float(jax_fn()) == 4.0
+
+    averages = get_trace()
+    assert averages['slow_fn'] >= 0.01
+    assert 'jax_fn' in averages
+    totals = get_trace(average=False)
+    assert totals['slow_fn'] >= 2 * 0.01
+    limited = get_trace(max_history=1)
+    assert limited['slow_fn'] >= 0.01
+    log_trace()
+    clear_trace()
+    assert get_trace() == {}
