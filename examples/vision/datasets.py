@@ -60,19 +60,20 @@ class Dataset:
             yield x, y
 
     def _augment(self, x: np.ndarray) -> np.ndarray:
-        """Random crop (pad 4) + horizontal flip, the standard CIFAR recipe."""
+        """Random crop (pad 4) + horizontal flip, the standard CIFAR recipe.
+
+        Uses the native C++ kernel when the toolchain is available (see
+        ``kfac_pytorch_tpu/utils/native``); numpy fallback otherwise.
+        """
+        from kfac_pytorch_tpu.utils.native import random_crop_flip
+
         n, h, w, c = x.shape
         padded = np.pad(
             x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode='reflect',
         )
-        out = np.empty_like(x)
-        offs = self._rng.integers(0, 9, size=(n, 2))
-        flips = self._rng.random(n) < 0.5
-        for i in range(n):
-            oy, ox = offs[i]
-            crop = padded[i, oy:oy + h, ox:ox + w]
-            out[i] = crop[:, ::-1] if flips[i] else crop
-        return out
+        offs = self._rng.integers(0, 9, size=(n, 2)).astype(np.int32)
+        flips = (self._rng.random(n) < 0.5).astype(np.uint8)
+        return random_crop_flip(padded, offs, flips, h, w)
 
 
 def _load_cifar_binaries(data_dir: str) -> tuple[np.ndarray, ...] | None:
