@@ -25,6 +25,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from kfac_pytorch_tpu.ops.covariance import _normalize_padding
 from kfac_pytorch_tpu.ops.covariance import append_bias_ones
 from kfac_pytorch_tpu.ops.covariance import extract_conv2d_patches
 from kfac_pytorch_tpu.ops.covariance import get_cov
@@ -176,6 +177,20 @@ class Conv2dHelper(LayerHelper):
     # matmul measured ~10x slower in large training graphs.
     use_pallas: bool = False
 
+    def _cov_permutation(self, c: int) -> Any:
+        """Map XLA patches order (c, kh, kw) -> our (kh, kw, c) order."""
+        import numpy as np
+
+        kh, kw = self.kernel_size
+        perm = [
+            ci * kh * kw + k
+            for k in range(kh * kw)
+            for ci in range(c)
+        ]
+        if self.has_bias:
+            perm.append(kh * kw * c)  # bias index stays last
+        return np.asarray(perm)
+
     def get_a_factor(self, a: jax.Array) -> jax.Array:
         a = self._compute_cast(self._maybe_cast(a))
         if (
@@ -195,22 +210,30 @@ class Conv2dHelper(LayerHelper):
                 self.padding,
                 has_bias=self.has_bias,
             )
-        patches = extract_conv2d_patches(
+        # XLA's native patches op lowers ~2x faster on TPU than a
+        # slice-stack im2col; its feature order is (c, kh, kw), fixed up
+        # afterwards by permuting the SMALL (d, d) covariance instead of
+        # the huge patch slab. Spatial/row scalings likewise apply to
+        # the output, not the slab.
+        pad = _normalize_padding(self.padding)
+        if isinstance(pad, str):
+            padding = pad
+        else:
+            padding = list(pad)
+        p4 = jax.lax.conv_general_dilated_patches(
             a,
             self.kernel_size,
             self.strides,
-            self.padding,
+            padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         )
-        spatial_size = patches.shape[1] * patches.shape[2]
-        p = patches.reshape(-1, patches.shape[-1])
+        spatial_size = p4.shape[1] * p4.shape[2]
+        p = p4.reshape(-1, p4.shape[-1])
         if self.has_bias:
             p = append_bias_ones(p)
-        p = p / spatial_size
-        # Keep the patch slab materialized: without the barrier XLA fuses
-        # the im2col gather into the covariance matmul operand, which
-        # measured ~10x slower inside large training graphs on TPU.
-        p = jax.lax.optimization_barrier(p)
-        return get_cov(p)
+        cov = get_cov(p, scale=float(p.shape[0]) * spatial_size**2)
+        perm = self._cov_permutation(a.shape[-1])
+        return cov[perm][:, perm]
 
     def get_g_factor(self, g: jax.Array) -> jax.Array:
         # g: (batch, out_h, out_w, out_channels) -- already channels-last.

@@ -77,12 +77,17 @@ def get_cov(
         if jnp.dtype(a.dtype).itemsize >= 4
         else jax.lax.Precision.DEFAULT
     )
-    cov = jax.lax.dot_general(
-        a,
-        rhs / scale,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    # Scale is applied to the small (d, d) output rather than the big
+    # row-matrix operand (one less full pass over the data; same value).
+    cov = (
+        jax.lax.dot_general(
+            a,
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        / scale
     ).astype(jnp.promote_types(a.dtype, jnp.float32))
     if b is None:
         cov = (cov + cov.T) / 2.0

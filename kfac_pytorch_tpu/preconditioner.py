@@ -74,6 +74,27 @@ class Bucket:
         return len(self.specs)
 
 
+def _pad_factor(f: jax.Array, dpad: int) -> jax.Array:
+    """Embed a (d, d) factor into (dpad, dpad) with identity padding."""
+    d = f.shape[-1]
+    if d == dpad:
+        return f
+    eye_pad = jnp.zeros((dpad, dpad), f.dtype).at[
+        jnp.arange(d, dpad), jnp.arange(d, dpad)
+    ].set(1.0)
+    return eye_pad.at[:d, :d].set(f)
+
+
+def _pad_grad(m: jax.Array, a_pad: int, g_pad: int) -> jax.Array:
+    """Zero-pad a (da, dg) gradient matrix to (a_pad, g_pad)."""
+    if m.shape == (a_pad, g_pad):
+        return m
+    return jnp.pad(
+        m,
+        ((0, a_pad - m.shape[0]), (0, g_pad - m.shape[1])),
+    )
+
+
 def _resolve(hp: HyperParam, steps: jax.Array) -> Any:
     """Callable-or-constant hyperparameter resolution.
 
@@ -130,6 +151,7 @@ class KFACPreconditioner:
             DistributedStrategy.COMM_OPT
         ),
         sharding: Any = None,  # parallel.strategy.KAISASharding or None
+        bucket_padding: str = 'none',  # 'none' | 'pow2' | 'max'
         # Other
         grad_scale: Callable[[], Any] | None = None,
         factor_dtype: Any = None,
@@ -236,18 +258,46 @@ class KFACPreconditioner:
         self._kl_clip = kl_clip
         self._lr = lr
 
-        # Bucket plan: group layers by exact (g_dim, a_dim); same-shaped
-        # layers batch into one decomposition and shard on the block axis.
+        # Bucket plan: group layers by (g_dim, a_dim); same-shaped layers
+        # batch into one decomposition and shard on the block axis.
+        # bucket_padding widens the grouping by zero/identity-padding
+        # factor blocks: 'pow2' buckets by next-power-of-two dims, 'max'
+        # puts every layer in ONE bucket padded to the largest dims --
+        # maximal batching (a single batched matmul set per precondition
+        # stage) at the cost of padded FLOPs. Padded rows/cols carry
+        # identity factors and zero gradients, so the math is unchanged.
+        if bucket_padding not in ('none', 'pow2', 'max'):
+            raise ValueError(f'Unknown bucket_padding={bucket_padding}')
+        self.bucket_padding = bucket_padding
+
+        def _pow2(n: int) -> int:
+            p = 1
+            while p < n:
+                p *= 2
+            return p
+
         grouped: dict[str, list[LayerSpec]] = {}
-        for spec in self._specs.values():
-            key = f'g{spec.g_shape[0]}xa{spec.a_shape[0]}'
-            grouped.setdefault(key, []).append(spec)
+        dims: dict[str, tuple[int, int]] = {}
+        if bucket_padding == 'max':
+            a_max = max(s.a_shape[0] for s in self._specs.values())
+            g_max = max(s.g_shape[0] for s in self._specs.values())
+            key = f'g{g_max}xa{a_max}'
+            grouped[key] = list(self._specs.values())
+            dims[key] = (a_max, g_max)
+        else:
+            for spec in self._specs.values():
+                a_d, g_d = spec.a_shape[0], spec.g_shape[0]
+                if bucket_padding == 'pow2':
+                    a_d, g_d = _pow2(a_d), _pow2(g_d)
+                key = f'g{g_d}xa{a_d}'
+                grouped.setdefault(key, []).append(spec)
+                dims[key] = (a_d, g_d)
         self._plan: tuple[Bucket, ...] = tuple(
             Bucket(
                 key=key,
                 specs=tuple(group),
-                a_dim=group[0].a_shape[0],
-                g_dim=group[0].g_shape[0],
+                a_dim=dims[key][0],
+                g_dim=dims[key][1],
             )
             for key, group in grouped.items()
         )
@@ -308,6 +358,30 @@ class KFACPreconditioner:
             }
             for name, spec in self._specs.items()
         }
+
+    def assignment(self, local_rank: int = 0) -> Any:
+        """Materialize the KAISA work assignment for introspection/logging.
+
+        The SPMD engine realizes owner-computes placement through the
+        bucket sharding (``parallel/strategy.py``); this method exposes
+        the equivalent explicit (layer, factor) -> device mapping and
+        group structure, mirroring the reference's logged assignment
+        table (``kfac/preconditioner.py:292-300``).
+        """
+        from kfac_pytorch_tpu.assignment import KAISAAssignment
+
+        if self.sharding is not None:
+            world = self.sharding.world_size
+            fraction = self.sharding.grad_workers / world
+        else:
+            world, fraction = 1, 1.0
+        return KAISAAssignment(
+            self.work(),
+            local_rank=local_rank,
+            world_size=world,
+            grad_worker_fraction=fraction,
+            colocate_factors=self.colocate_factors,
+        )
 
     def memory_usage(self, state: KFACState) -> dict[str, int]:
         """Approximate bytes per category, mirroring the reference's
@@ -435,10 +509,16 @@ class KFACPreconditioner:
         for bucket in self._plan:
             bs = buckets[bucket.key]
             a_stack = jnp.stack(
-                [captured[s.name].a for s in bucket.specs],
+                [
+                    _pad_factor(captured[s.name].a, bucket.a_dim)
+                    for s in bucket.specs
+                ],
             ).astype(bs.a_factor.dtype)
             g_stack = jnp.stack(
-                [captured[s.name].g for s in bucket.specs],
+                [
+                    _pad_factor(captured[s.name].g, bucket.g_dim)
+                    for s in bucket.specs
+                ],
             ).astype(bs.g_factor.dtype)
             out[bucket.key] = bs.replace(
                 a_factor=self._constrain(
@@ -587,8 +667,12 @@ class KFACPreconditioner:
         for bucket in self._plan:
             grad_mats = jnp.stack(
                 [
-                    spec.helper.get_grad_t(
-                        get_subtree(root, self._paths[spec.name]),
+                    _pad_grad(
+                        spec.helper.get_grad_t(
+                            get_subtree(root, self._paths[spec.name]),
+                        ),
+                        bucket.a_dim,
+                        bucket.g_dim,
                     )
                     for spec in bucket.specs
                 ],
@@ -620,10 +704,11 @@ class KFACPreconditioner:
             for i, spec in enumerate(bucket.specs):
                 path = self._paths[spec.name]
                 sub = get_subtree(root, path)
+                da, dg = spec.a_shape[0], spec.g_shape[0]
                 root = set_subtree(
                     root,
                     path,
-                    spec.helper.set_grad_t(sub, pg[i]),
+                    spec.helper.set_grad_t(sub, pg[i, :da, :dg]),
                 )
 
         if root is not grads and isinstance(grads, dict) and 'params' in grads:
@@ -663,9 +748,11 @@ class KFACPreconditioner:
             layers: dict[str, dict[str, jax.Array]] = {}
             for name, (key, idx) in self._slot.items():
                 bs = state.buckets[key]
+                da = self._specs[name].a_shape[0]
+                dg = self._specs[name].g_shape[0]
                 layers[name] = {
-                    'A': bs.a_factor[idx],
-                    'G': bs.g_factor[idx],
+                    'A': bs.a_factor[idx, :da, :da],
+                    'G': bs.g_factor[idx, :dg, :dg],
                 }
             sd['layers'] = layers
         return sd
@@ -706,12 +793,20 @@ class KFACPreconditioner:
                     raise KeyError(f'Unknown layer in state dict: {name}')
                 key, idx = self._slot[name]
                 bs = buckets[key]
+                a_pad = bs.a_factor.shape[-1]
+                g_pad = bs.g_factor.shape[-1]
                 buckets[key] = bs.replace(
                     a_factor=bs.a_factor.at[idx].set(
-                        jnp.asarray(layer_sd['A'], bs.a_factor.dtype),
+                        _pad_factor(
+                            jnp.asarray(layer_sd['A'], bs.a_factor.dtype),
+                            a_pad,
+                        ),
                     ),
                     g_factor=bs.g_factor.at[idx].set(
-                        jnp.asarray(layer_sd['G'], bs.g_factor.dtype),
+                        _pad_factor(
+                            jnp.asarray(layer_sd['G'], bs.g_factor.dtype),
+                            g_pad,
+                        ),
                     ),
                 )
             state = state.replace(buckets=buckets)

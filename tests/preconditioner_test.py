@@ -269,3 +269,66 @@ def test_validation_errors() -> None:
         KFACPreconditioner(model, example_args=(x,), skip_layers=['Dense'])
     with pytest.raises(ValueError):
         KFACPreconditioner()
+
+
+@pytest.mark.parametrize('mode', ['pow2', 'max'])
+def test_bucket_padding_matches_unpadded(mode: str) -> None:
+    """Padded-bucket engine must produce identical preconditioned grads."""
+    from kfac_pytorch_tpu.models import LeNet
+
+    model = LeNet()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 28, 28, 1))
+    y = jax.random.randint(jax.random.PRNGKey(1), (4,), 0, 10)
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        logits = model.apply(p, bx)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, by,
+        ).mean()
+
+    def run(padding):
+        pc = KFACPreconditioner(
+            model, example_args=(x,), lr=0.1, damping=0.003,
+            bucket_padding=padding,
+        )
+        st = pc.init()
+        vag = jax.jit(pc.value_and_grad(loss_fn))
+        step = jax.jit(pc.step)
+        _, grads, cap = vag(params, x, y)
+        pg, st = step(st, grads, cap)
+        # second step exercises EMA + state_dict round trip
+        sd = pc.state_dict(st)
+        pg2, _ = pc.step(pc.load_state_dict(sd), grads, cap)
+        return pg, pg2, sd
+
+    pg_ref, pg2_ref, sd_ref = run('none')
+    pg_pad, pg2_pad, sd_pad = run(mode)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+        ),
+        pg_pad,
+        pg_ref,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+        ),
+        pg2_pad,
+        pg2_ref,
+    )
+    for name in sd_ref['layers']:
+        np.testing.assert_allclose(
+            np.asarray(sd_pad['layers'][name]['A']),
+            np.asarray(sd_ref['layers'][name]['A']),
+            atol=1e-5,
+        )
+
+
+def test_bucket_padding_validation() -> None:
+    model = TinyModel()
+    with pytest.raises(ValueError):
+        KFACPreconditioner(
+            model, example_args=(jnp.zeros((2, 8)),), bucket_padding='huge',
+        )
