@@ -18,6 +18,7 @@ from kfac_pytorch_tpu import ops as ops
 from kfac_pytorch_tpu import scheduler as scheduler
 from kfac_pytorch_tpu import state as state
 from kfac_pytorch_tpu import tracing as tracing
+from kfac_pytorch_tpu import train as train
 from kfac_pytorch_tpu.capture import accumulate_captures as accumulate_captures
 from kfac_pytorch_tpu.capture import CapturedFactors as CapturedFactors
 from kfac_pytorch_tpu.enums import AllreduceMethod as AllreduceMethod

@@ -1,0 +1,123 @@
+"""Scanned training-loop builders: the production TPU step pattern.
+
+On TPU the idiomatic deployment compiles many training steps into one
+``lax.scan`` dispatch. This module packages the K-FAC step pattern used by
+the benchmarks: statistics capture gated with ``lax.cond`` on the step
+counter (the runtime executes only the taken branch -- the on-device
+equivalent of the reference's hook gate,
+``kfac/base_preconditioner.py:444-446`` of gpauloski/kfac-pytorch), the
+preconditioner step, and an optax update, all inside the scan body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kfac_pytorch_tpu.capture import CapturedFactors
+from kfac_pytorch_tpu.preconditioner import KFACPreconditioner
+
+__all__ = ['KFACTrainCarry', 'make_train_step', 'scan_train']
+
+
+class KFACTrainCarry(NamedTuple):
+    params: Any
+    opt_state: Any
+    kfac_state: Any
+    extra: Any = None  # e.g. batch_stats; threaded through loss_fn aux
+
+
+def make_train_step(
+    precond: KFACPreconditioner,
+    loss_fn: Callable[..., Any],
+    tx: Any,
+    has_aux: bool = False,
+) -> Callable[..., tuple[KFACTrainCarry, jax.Array]]:
+    """Build a scan-compatible training step with gated K-FAC capture.
+
+    Args:
+        precond: the preconditioner. ``factor_update_steps`` must be a
+            static int (it becomes the on-device capture gate).
+        loss_fn: ``loss_fn(params, *batch)`` or, with ``has_aux``,
+            ``loss_fn(params, extra, *batch) -> (loss, new_extra)`` (e.g.
+            batch_stats threading).
+        tx: optax optimizer applied to the preconditioned gradients.
+
+    Returns:
+        ``step(carry: KFACTrainCarry, batch: tuple) -> (carry, loss)``
+        suitable for ``jax.lax.scan`` or direct jit.
+    """
+    fus = precond._factor_update_steps
+    if callable(fus):
+        raise ValueError(
+            'make_train_step requires a static int factor_update_steps',
+        )
+    vag = precond.value_and_grad(loss_fn, has_aux=has_aux)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def zeros_captured() -> dict[str, CapturedFactors]:
+        return {
+            name: CapturedFactors(
+                a=jnp.zeros(spec.a_shape, jnp.float32),
+                g=jnp.zeros(spec.g_shape, jnp.float32),
+            )
+            for name, spec in precond.specs.items()
+        }
+
+    def step(
+        carry: KFACTrainCarry,
+        batch: tuple[Any, ...],
+    ) -> tuple[KFACTrainCarry, jax.Array]:
+        args = ((carry.extra,) if has_aux else ()) + tuple(batch)
+
+        def cap_branch(_: Any):
+            (loss, aux), grads, captured = vag(carry.params, *args)
+            return (loss, aux), grads, captured
+
+        def fast_branch(_: Any):
+            if has_aux:
+                (loss, aux), grads = grad_fn(carry.params, *args)
+            else:
+                loss, grads = grad_fn(carry.params, *args)
+                aux = None
+            return (loss, aux), grads, zeros_captured()
+
+        if fus == 1:
+            (loss, aux), grads, captured = cap_branch(None)
+        else:
+            (loss, aux), grads, captured = jax.lax.cond(
+                carry.kfac_state.steps % fus == 0,
+                cap_branch,
+                fast_branch,
+                None,
+            )
+        extra = aux if has_aux else carry.extra
+        pgrads, kfac_state = precond.step(
+            carry.kfac_state, grads, captured,
+        )
+        updates, opt_state = tx.update(
+            pgrads, carry.opt_state, carry.params,
+        )
+        import optax
+
+        params = optax.apply_updates(carry.params, updates)
+        return KFACTrainCarry(params, opt_state, kfac_state, extra), loss
+
+    return step
+
+
+def scan_train(
+    step: Callable[..., tuple[KFACTrainCarry, jax.Array]],
+    carry: KFACTrainCarry,
+    batches: Any = None,
+    length: int | None = None,
+) -> tuple[KFACTrainCarry, jax.Array]:
+    """Run ``step`` over many batches in one compiled scan.
+
+    ``batches`` is a pytree of stacked arrays with a leading scan axis
+    (or None with ``length`` to reuse a closed-over batch).
+    """
+    return jax.lax.scan(step, carry, xs=batches, length=length)

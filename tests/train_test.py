@@ -1,0 +1,150 @@
+"""Tests for the scanned training-loop builders."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from kfac_pytorch_tpu import KFACPreconditioner
+from kfac_pytorch_tpu.models import TinyModel
+from kfac_pytorch_tpu.train import KFACTrainCarry
+from kfac_pytorch_tpu.train import make_train_step
+from kfac_pytorch_tpu.train import scan_train
+
+
+def _setup(fus: int = 1):
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10), 10,
+    )
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        return optax.softmax_cross_entropy(model.apply(p, bx), by).mean()
+
+    precond = KFACPreconditioner(
+        model,
+        example_args=(x,),
+        lr=0.1,
+        damping=0.003,
+        factor_update_steps=fus,
+        inv_update_steps=max(fus, 1),
+    )
+    tx = optax.sgd(0.1)
+    return model, params, precond, tx, loss_fn, x, y
+
+
+@pytest.mark.parametrize('fus', [1, 4])
+def test_scan_training_decreases_loss(fus: int) -> None:
+    _, params, precond, tx, loss_fn, x, y = _setup(fus)
+    step = make_train_step(precond, loss_fn, tx)
+    carry = KFACTrainCarry(
+        params=params,
+        opt_state=tx.init(params),
+        kfac_state=precond.init(),
+    )
+    batches = (
+        jnp.broadcast_to(x, (20, *x.shape)),
+        jnp.broadcast_to(y, (20, *y.shape)),
+    )
+    run = jax.jit(lambda c, b: scan_train(step, c, b))
+    carry, losses = run(carry, batches)
+    assert losses.shape == (20,)
+    assert float(losses[-1]) < float(losses[0])
+    assert int(carry.kfac_state.steps) == 20
+
+
+def test_scan_matches_eager_loop() -> None:
+    """The scanned gated step must match the eager two-function loop."""
+    _, params, precond, tx, loss_fn, x, y = _setup(fus=2)
+    step = make_train_step(precond, loss_fn, tx)
+    carry = KFACTrainCarry(params, tx.init(params), precond.init())
+    batches = (
+        jnp.broadcast_to(x, (6, *x.shape)),
+        jnp.broadcast_to(y, (6, *y.shape)),
+    )
+    carry_s, losses_s = jax.jit(
+        lambda c, b: scan_train(step, c, b),
+    )(carry, batches)
+
+    # eager equivalent
+    p2 = params
+    o2 = tx.init(params)
+    s2 = precond.init()
+    vag = jax.jit(precond.value_and_grad(loss_fn))
+    pstep = jax.jit(precond.step)
+    losses_e = []
+    for i in range(6):
+        if precond.should_update_factors(i):
+            (loss, _), grads, cap = vag(p2, x, y)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(p2, x, y)
+            cap = None
+        losses_e.append(float(loss))
+        pg, s2 = pstep(s2, grads, cap)
+        updates, o2 = tx.update(pg, o2, p2)
+        p2 = optax.apply_updates(p2, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_s), np.asarray(losses_e), rtol=2e-4,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5,
+        ),
+        carry_s.params,
+        p2,
+    )
+
+
+def test_train_step_rejects_callable_fus() -> None:
+    _, params, precond, tx, loss_fn, x, y = _setup()
+    precond._factor_update_steps = lambda s: 1
+    with pytest.raises(ValueError):
+        make_train_step(precond, loss_fn, tx)
+
+
+def test_bf16_training_end_to_end() -> None:
+    """bf16 model training with K-FAC: factors/inverses stay f32-stable."""
+    import flax.linen as nn
+
+    class Bf16Model(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(32, dtype=jnp.bfloat16)(x)
+            x = nn.relu(x)
+            return nn.Dense(10, dtype=jnp.bfloat16)(x)
+
+    model = Bf16Model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8), jnp.bfloat16)
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10), 10,
+    )
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        logits = model.apply(p, bx).astype(jnp.float32)
+        return optax.softmax_cross_entropy(logits, by).mean()
+
+    precond = KFACPreconditioner(
+        model, example_args=(x,), lr=0.1, damping=0.003,
+    )
+    state = precond.init()
+    # factors stored f32 even though activations are bf16
+    assert state.buckets[precond.plan[0].key].a_factor.dtype == jnp.float32
+    tx = optax.sgd(0.1)
+    step = make_train_step(precond, loss_fn, tx)
+    carry = KFACTrainCarry(params, tx.init(params), state)
+    batches = (
+        jnp.broadcast_to(x, (15, *x.shape)),
+        jnp.broadcast_to(y, (15, *y.shape)),
+    )
+    carry, losses = jax.jit(lambda c, b: scan_train(step, c, b))(
+        carry, batches,
+    )
+    assert float(losses[-1]) < float(losses[0])
+    assert jnp.isfinite(losses).all()
