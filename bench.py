@@ -101,36 +101,13 @@ def main() -> None:
         updates, o = tx.update(grads, o)
         return (optax.apply_updates(p, updates), bn2, o), loss
 
-    vag = precond.value_and_grad(loss_fn, has_aux=True)
-    fus = 10
+    from kfac_pytorch_tpu.train import KFACTrainCarry
+    from kfac_pytorch_tpu.train import make_train_step
 
-    def zeros_captured() -> Any:
-        from kfac_pytorch_tpu.capture import CapturedFactors
-
-        return {
-            name: CapturedFactors(
-                a=jnp.zeros(spec.a_shape, jnp.float32),
-                g=jnp.zeros(spec.g_shape, jnp.float32),
-            )
-            for name, spec in precond.specs.items()
-        }
+    kstep = make_train_step(precond, loss_fn, tx, has_aux=True)
 
     def kfac_body(carry: Any, _: Any):
-        p, bn, o, s = carry
-
-        def cap_branch(_: Any):
-            return vag(p, bn, x, y)
-
-        def fast_branch(_: Any):
-            (loss, bn2), grads = grad_fn(p, bn, x, y)
-            return (loss, bn2), grads, zeros_captured()
-
-        (loss, bn2), grads, captured = jax.lax.cond(
-            s.steps % fus == 0, cap_branch, fast_branch, None,
-        )
-        pgrads, s = precond.step(s, grads, captured)
-        updates, o = tx.update(pgrads, o)
-        return (optax.apply_updates(p, updates), bn2, o, s), loss
+        return kstep(carry, (x, y))
 
     n = 100
     _, t_sgd = _timed_scan(
@@ -138,7 +115,9 @@ def main() -> None:
     )
     _, t_kfac = _timed_scan(
         kfac_body,
-        (params, batch_stats, tx.init(params), precond.init()),
+        KFACTrainCarry(
+            params, tx.init(params), precond.init(), batch_stats,
+        ),
         n,
     )
 

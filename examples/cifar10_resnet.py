@@ -87,6 +87,9 @@ def main() -> None:
     from kfac_pytorch_tpu.parallel import KAISASharding
     from jax.sharding import NamedSharding
 
+    from examples.utils import maybe_init_distributed
+
+    maybe_init_distributed()
     args = parse_args()
     args.kfac_compute_method = (
         'inverse' if args.kfac_inv_method else 'eigen'

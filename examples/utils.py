@@ -16,12 +16,30 @@ import jax.numpy as jnp
 import optax
 
 __all__ = [
+    'maybe_init_distributed',
     'Metric',
     'label_smooth_loss',
     'create_lr_schedule',
     'save_checkpoint',
     'load_checkpoint',
 ]
+
+
+def maybe_init_distributed() -> None:
+    """Initialize JAX multi-host coordination on TPU pods.
+
+    No-op on single-host setups; on a pod slice every host runs the same
+    SPMD program and the TPU runtime supplies the topology (the analogue
+    of the reference launcher's torchrun rendezvous,
+    ``scripts/run_imagenet.sh:35-77``).
+    """
+    if os.environ.get('TPU_WORKER_HOSTNAMES') or os.environ.get(
+        'MEGASCALE_COORDINATOR_ADDRESS',
+    ):
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process
 
 
 class Metric:

@@ -608,6 +608,7 @@ class KFACPreconditioner:
         state: KFACState,
         grads: Any,
         captured: Captured | None = None,
+        force_factor_update: bool = False,
     ) -> tuple[Any, KFACState]:
         """One K-FAC step: update factors, refresh inverses, precondition.
 
@@ -633,9 +634,13 @@ class KFACPreconditioner:
         lr = _resolve(self._lr, steps)
 
         # Stage 1: factor running averages (reference base.py:375-405).
+        # force_factor_update lets a caller that already gated the capture
+        # (e.g. the scanned train step's outer lax.cond) skip the internal
+        # gate -- one branch instead of two avoids re-threading the factor
+        # buffers through a second cond.
         if captured is not None:
             fus = _resolve(self._factor_update_steps, steps)
-            if isinstance(fus, int) and fus == 1:
+            if force_factor_update or (isinstance(fus, int) and fus == 1):
                 buckets = self._update_factors(state.buckets, captured, decay)
             else:
                 buckets = jax.lax.cond(
