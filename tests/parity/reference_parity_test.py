@@ -296,3 +296,123 @@ def test_exp_decay_schedule_matches_reference() -> None:
     ours = exp_decay_factor_averaging()
     for step in (0, 1, 2, 5, 10, 100, 1000):
         assert ours(step) == pytest.approx(ref(step))
+
+
+@pytest.mark.parametrize('method,prediv', [
+    ('eigen', False), ('eigen', True), ('inverse', False),
+])
+def test_full_model_preconditioned_update_matches_reference(
+    method, prediv,
+) -> None:
+    """End-to-end: same weights + batch -> same preconditioned gradients.
+
+    The reference runs its full hook/step pipeline on a torch MLP; we run
+    the capture/step pipeline on a flax MLP carrying identical weights.
+    The resulting preconditioned gradients must agree to f32 tolerance.
+    """
+    import flax.linen as nn
+    from kfac.preconditioner import KFACPreconditioner as RefPrecond
+
+    from kfac_pytorch_tpu import KFACPreconditioner
+
+    rng = np.random.default_rng(7)
+    d_in, d_h, d_out = 6, 8, 4
+    batch = 16
+    x_np = rng.normal(0, 1, (batch, d_in)).astype(np.float32)
+    y_np = rng.normal(0, 1, (batch, d_out)).astype(np.float32)
+    w1 = rng.normal(0, 0.5, (d_h, d_in)).astype(np.float32)
+    b1 = rng.normal(0, 0.1, (d_h,)).astype(np.float32)
+    w2 = rng.normal(0, 0.5, (d_out, d_h)).astype(np.float32)
+    b2 = rng.normal(0, 0.1, (d_out,)).astype(np.float32)
+
+    # ---- reference side (torch) ----
+    tmodel = torch.nn.Sequential(
+        torch.nn.Linear(d_in, d_h),
+        torch.nn.ReLU(),
+        torch.nn.Linear(d_h, d_out),
+    )
+    with torch.no_grad():
+        tmodel[0].weight.copy_(torch.from_numpy(w1))
+        tmodel[0].bias.copy_(torch.from_numpy(b1))
+        tmodel[2].weight.copy_(torch.from_numpy(w2))
+        tmodel[2].bias.copy_(torch.from_numpy(b2))
+    ref_pc = RefPrecond(
+        tmodel,
+        factor_update_steps=1,
+        inv_update_steps=1,
+        damping=0.003,
+        factor_decay=0.95,
+        kl_clip=0.001,
+        lr=0.1,
+        compute_method=method,
+        compute_eigenvalue_outer_product=prediv,
+    )
+    out = tmodel(torch.from_numpy(x_np))
+    loss = torch.mean((out - torch.from_numpy(y_np)) ** 2)
+    loss.backward()
+    ref_pc.step()
+    ref_pg = {
+        'w1': tmodel[0].weight.grad.numpy().copy(),
+        'b1': tmodel[0].bias.grad.numpy().copy(),
+        'w2': tmodel[2].weight.grad.numpy().copy(),
+        'b2': tmodel[2].bias.grad.numpy().copy(),
+    }
+
+    # ---- our side (flax) ----
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(d_h)(x)
+            x = nn.relu(x)
+            return nn.Dense(d_out)(x)
+
+    model = MLP()
+    params = {
+        'params': {
+            'Dense_0': {'kernel': jnp.asarray(w1.T), 'bias': jnp.asarray(b1)},
+            'Dense_1': {'kernel': jnp.asarray(w2.T), 'bias': jnp.asarray(b2)},
+        },
+    }
+
+    def loss_fn(p, bx, by):
+        return jnp.mean((model.apply(p, bx) - by) ** 2)
+
+    pc = KFACPreconditioner(
+        model,
+        example_args=(jnp.asarray(x_np),),
+        factor_update_steps=1,
+        inv_update_steps=1,
+        damping=0.003,
+        factor_decay=0.95,
+        kl_clip=0.001,
+        lr=0.1,
+        compute_method=method,
+        compute_eigenvalue_outer_product=prediv,
+    )
+    state = pc.init()
+    (loss_j, _), grads, captured = pc.value_and_grad(loss_fn)(
+        params, jnp.asarray(x_np), jnp.asarray(y_np),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss), rtol=1e-5)
+    pgrads, _ = pc.step(state, grads, captured)
+
+    np.testing.assert_allclose(
+        np.asarray(pgrads['params']['Dense_0']['kernel']).T,
+        ref_pg['w1'],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pgrads['params']['Dense_0']['bias']),
+        ref_pg['b1'],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pgrads['params']['Dense_1']['kernel']).T,
+        ref_pg['w2'],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pgrads['params']['Dense_1']['bias']),
+        ref_pg['b2'],
+        atol=2e-5,
+    )
