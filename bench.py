@@ -26,8 +26,11 @@ import time
 from typing import Any
 
 import jax
-import jax.numpy as jnp
-import optax
+
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
 
 
 def build() -> tuple[Any, ...]:
