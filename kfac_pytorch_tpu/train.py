@@ -121,3 +121,74 @@ def scan_train(
     (or None with ``length`` to reuse a closed-over batch).
     """
     return jax.lax.scan(step, carry, xs=batches, length=length)
+
+
+def make_chunked_train_step(
+    precond: KFACPreconditioner,
+    loss_fn: Callable[..., Any],
+    tx: Any,
+    has_aux: bool = False,
+) -> Callable[..., tuple[KFACTrainCarry, Any]]:
+    """Statically-unrolled factor-update period: zero gating overhead.
+
+    Instead of a per-step ``lax.cond``, one scan iteration processes
+    ``factor_update_steps`` consecutive batches: the first with statistics
+    capture + factor EMA (selected in Python at trace time), the rest on
+    the pure fast path. No branch buffers, no zero-captured pytrees --
+    the schedule is baked into the compiled program (larger HLO, lowest
+    runtime overhead; the TPU analogue of the reference's Python-side hook
+    gate, ``base_preconditioner.py:444-446``).
+
+    Returns ``chunk_step(carry, batches) -> (carry, losses)`` where
+    ``batches`` is a pytree whose leaves have a leading axis of size
+    ``factor_update_steps`` (one sub-batch per unrolled step). Use with
+    ``jax.lax.scan`` over chunked epochs.
+    """
+    import optax
+
+    fus = precond._factor_update_steps
+    if callable(fus):
+        raise ValueError(
+            'make_chunked_train_step requires a static int '
+            'factor_update_steps',
+        )
+    vag = precond.value_and_grad(loss_fn, has_aux=has_aux)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def chunk_step(
+        carry: KFACTrainCarry,
+        batches: tuple[Any, ...],
+    ) -> tuple[KFACTrainCarry, Any]:
+        params, opt_state, kfac_state, extra = carry
+        losses = []
+        for i in range(fus):
+            batch = tuple(
+                jax.tree.map(lambda leaf: leaf[i], b) for b in batches
+            )
+            args = ((extra,) if has_aux else ()) + batch
+            if i == 0:
+                (loss, aux), grads, captured = vag(params, *args)
+                pgrads, kfac_state = precond.step(
+                    kfac_state, grads, captured,
+                    force_factor_update=True,
+                )
+            else:
+                if has_aux:
+                    (loss, aux), grads = grad_fn(params, *args)
+                else:
+                    loss, grads = grad_fn(params, *args)
+                    aux = None
+                pgrads, kfac_state = precond.step(kfac_state, grads, None)
+            if has_aux:
+                extra = aux
+            updates, opt_state = tx.update(pgrads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            losses.append(loss)
+        import jax.numpy as jnp
+
+        return (
+            KFACTrainCarry(params, opt_state, kfac_state, extra),
+            jnp.stack(losses),
+        )
+
+    return chunk_step

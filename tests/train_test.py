@@ -148,3 +148,44 @@ def test_bf16_training_end_to_end() -> None:
     )
     assert float(losses[-1]) < float(losses[0])
     assert jnp.isfinite(losses).all()
+
+
+def test_chunked_matches_gated_step() -> None:
+    """The statically-unrolled chunk must equal fus gated steps."""
+    from kfac_pytorch_tpu.train import make_chunked_train_step
+
+    _, params, precond, tx, loss_fn, x, y = _setup(fus=3)
+    gated = make_train_step(precond, loss_fn, tx)
+    chunked = make_chunked_train_step(precond, loss_fn, tx)
+
+    carry_g = KFACTrainCarry(params, tx.init(params), precond.init())
+    batches = (
+        jnp.broadcast_to(x, (6, *x.shape)),
+        jnp.broadcast_to(y, (6, *y.shape)),
+    )
+    carry_g, losses_g = jax.jit(lambda c, b: scan_train(gated, c, b))(
+        carry_g, batches,
+    )
+
+    carry_c = KFACTrainCarry(params, tx.init(params), precond.init())
+    chunk_batches = (
+        batches[0].reshape(2, 3, *x.shape),
+        batches[1].reshape(2, 3, *y.shape),
+    )
+    carry_c, losses_c = jax.jit(
+        lambda c, b: jax.lax.scan(chunked, c, b),
+    )(carry_c, chunk_batches)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_c).reshape(-1),
+        np.asarray(losses_g),
+        rtol=2e-4,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5,
+        ),
+        carry_c.params,
+        carry_g.params,
+    )
+    assert int(carry_c.kfac_state.steps) == 6
