@@ -115,10 +115,10 @@ class Trainer:
 
             def accum_grads(state: TrainState, x: Any, y: Any):
                 """One microbatch: grads + capture, no update."""
-                (loss, _), grads, captured = vag(
+                (loss, bn), grads, captured = vag(
                     state.params, state.batch_stats, x, y,
                 )
-                return loss, grads, captured
+                return loss, bn, grads, captured
 
             self._accum_grads = jax.jit(accum_grads)
 
@@ -207,8 +207,9 @@ class Trainer:
             if len(micro) < accumulation_steps:
                 continue
             grads_list, caps, losses = [], [], []
+            bn = state.batch_stats
             for mx, my in micro:
-                loss, grads, captured = self._accum_grads(state, mx, my)
+                loss, bn, grads, captured = self._accum_grads(state, mx, my)
                 grads_list.append(grads)
                 caps.append(captured)
                 losses.append(loss)
@@ -225,7 +226,7 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             state = TrainState(
                 params=params,
-                batch_stats=state.batch_stats,
+                batch_stats=bn,
                 opt_state=opt_state,
                 kfac_state=kfac_state,
                 step=state.step + 1,

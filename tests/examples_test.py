@@ -1,0 +1,82 @@
+"""Unit tests for example utilities (datasets, LR schedule, checkpoints)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples.utils import create_lr_schedule  # noqa: E402
+from examples.utils import label_smooth_loss  # noqa: E402
+from examples.utils import latest_checkpoint  # noqa: E402
+from examples.utils import Metric  # noqa: E402
+from examples.vision.datasets import Dataset  # noqa: E402
+from examples.vision.datasets import synthetic  # noqa: E402
+
+
+def test_metric() -> None:
+    m = Metric('loss')
+    m.update(2.0, n=2)
+    m.update(4.0, n=2)
+    assert m.avg == pytest.approx(3.0)
+    assert Metric('empty').avg == 0.0
+
+
+def test_label_smooth_loss() -> None:
+    logits = jnp.array([[10.0, -10.0], [-10.0, 10.0]])
+    labels = jnp.array([0, 1])
+    sharp = float(label_smooth_loss(logits, labels, smoothing=0.0))
+    smooth = float(label_smooth_loss(logits, labels, smoothing=0.1))
+    assert sharp < smooth  # smoothing penalizes overconfidence
+    assert sharp == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lr_schedule_warmup_and_decay() -> None:
+    sched = create_lr_schedule(
+        1.0, warmup_epochs=5, decay_epochs=[10, 20], steps_per_epoch=1,
+    )
+    # warmup ramps linearly
+    assert float(sched(0)) == pytest.approx(0.2)
+    assert float(sched(4)) == pytest.approx(1.0)
+    # full LR until first decay epoch
+    assert float(sched(9)) == pytest.approx(1.0)
+    assert float(sched(10)) == pytest.approx(0.1)
+    assert float(sched(20)) == pytest.approx(0.01)
+
+
+def test_latest_checkpoint(tmp_path) -> None:
+    assert latest_checkpoint(str(tmp_path)) is None
+    os.makedirs(tmp_path / 'ckpt_3')
+    os.makedirs(tmp_path / 'ckpt_11')
+    os.makedirs(tmp_path / 'other')
+    assert latest_checkpoint(str(tmp_path)) == str(tmp_path / 'ckpt_11')
+
+
+def test_synthetic_dataset_shapes_and_determinism() -> None:
+    train, val = synthetic((8, 8, 1), 4, batch_size=16, seed=3, size=160)
+    assert len(train) == 9  # 144 train / 16
+    x, y = next(iter(train.epoch()))
+    assert x.shape == (16, 8, 8, 1)
+    assert y.shape == (16,)
+    assert y.dtype == np.int32
+    # same seed -> same data
+    train2, _ = synthetic((8, 8, 1), 4, batch_size=16, seed=3, size=160)
+    x2, y2 = next(iter(train2.epoch()))
+    np.testing.assert_allclose(x, x2)
+
+
+def test_dataset_augmentation_changes_images() -> None:
+    rng = np.random.default_rng(0)
+    images = rng.normal(0, 1, (32, 16, 16, 3)).astype(np.float32)
+    labels = np.zeros(32, np.int32)
+    ds = Dataset(images, labels, 16, train=True, augment=True, seed=1)
+    x, _ = next(iter(ds.epoch()))
+    assert x.shape == (16, 16, 16, 3)
+    # augmented batches differ from the raw slices for at least one image
+    raw = images[:16]
+    assert not np.allclose(np.sort(x, axis=None), np.sort(raw, axis=None))
