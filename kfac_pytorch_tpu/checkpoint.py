@@ -28,9 +28,9 @@ __all__ = ['save_kfac_state', 'restore_kfac_state']
 def _factors_only(state: KFACState) -> dict[str, Any]:
     return {
         'steps': state.steps,
-        'buckets': {
-            key: {'a_factor': bs.a_factor, 'g_factor': bs.g_factor}
-            for key, bs in state.buckets.items()
+        'factors': {
+            name: {'a': cf.a, 'g': cf.g}
+            for name, cf in state.factors.items()
         },
     }
 
@@ -60,23 +60,27 @@ def restore_kfac_state(
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=template)
 
+    from kfac_pytorch_tpu.capture import CapturedFactors
+
     state = precond.init()
-    buckets = {
-        key: state.buckets[key].replace(
-            a_factor=restored['buckets'][key]['a_factor'],
-            g_factor=restored['buckets'][key]['g_factor'],
+    factors = {
+        name: CapturedFactors(
+            a=restored['factors'][name]['a'],
+            g=restored['factors'][name]['g'],
         )
-        for key in state.buckets
+        for name in state.factors
     }
     state = state.replace(
         steps=jax.numpy.asarray(restored['steps'], jax.numpy.int32),
-        buckets=buckets,
+        factors=factors,
     )
     if compute_inverses:
         damping = precond._damping
         if callable(damping):
             damping = damping(state.steps)
         state = state.replace(
-            buckets=precond._compute_second_order(state.buckets, damping),
+            buckets=precond._compute_second_order(
+                state.buckets, state.factors, damping,
+            ),
         )
     return state

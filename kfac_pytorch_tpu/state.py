@@ -3,15 +3,19 @@
 The reference keeps mutable per-layer tensors (possibly comm futures) on
 ``KFACBaseLayer`` objects (``kfac/layers/base.py:74-128`` of
 gpauloski/kfac-pytorch). The TPU-native design is a pure pytree carried
-through the training step, with layers of identical factor dimensions
-*stacked into block-batched buckets* ``[n_blocks, d, d]``:
+through the training step, in two tiers:
 
-- one batched ``eigh``/``cholesky`` per bucket instead of a Python loop of
-  small decompositions (MXU-friendly, single dispatch);
-- owner-computes distribution becomes a sharding annotation on the block
-  axis instead of per-rank control flow;
-- the factor "bucketed allreduce" of the reference (``kfac/distributed.py:
-  305-385``) is subsumed by the stacked layout: one psum per bucket.
+- **Running factors** live per layer at their true dims (``factors`` in
+  ``KFACState``). Like the reference (factors are allreduced to every
+  rank, ``kfac/layers/base.py:282-336``), they are replicated; the EMA is
+  then a set of independent small fused multiply-adds -- measured ~7ms
+  cheaper per factor update than updating block-stacked buffers.
+- **Second-order state** (eigendecompositions / inverses) is stacked into
+  block-batched buckets ``[n_blocks, d, d]`` at inverse-update time: one
+  batched ``eigh`` per bucket, sharded over the mesh on the block axis
+  (owner-computes), with the KAISA strategy expressed as sharding
+  constraints. This is also where the reference distributes its state
+  (eigen state lives only on the inverse worker, ``eigen.py:74-85``).
 """
 
 from __future__ import annotations
@@ -22,25 +26,29 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-__all__ = ['BucketState', 'KFACState', 'init_bucket_state']
+from kfac_pytorch_tpu.capture import CapturedFactors
+
+__all__ = [
+    'BucketState',
+    'KFACState',
+    'init_bucket_state',
+    'init_layer_factors',
+]
 
 
 @flax.struct.dataclass
 class BucketState:
-    """Stacked per-bucket K-FAC state for layers sharing factor dims.
+    """Stacked per-bucket second-order state for same-dim layers.
 
     Fields that do not apply to the configured compute method are ``None``
     (eigen: ``qa/qg/da/dg`` or ``dgda``; inverse: ``a_inv/g_inv``).
     """
 
-    # Running-average Kronecker factors, shape [B, da, da] / [B, dg, dg].
-    a_factor: jax.Array
-    g_factor: jax.Array
-    # Eigen method state.
+    # Eigen method state, [B, d, d] / [B, d].
     qa: jax.Array | None = None
     qg: jax.Array | None = None
-    da: jax.Array | None = None  # [B, da] eigenvalues
-    dg: jax.Array | None = None  # [B, dg] eigenvalues
+    da: jax.Array | None = None
+    dg: jax.Array | None = None
     # Precomputed 1/(outer(da, dg) + damping), [B, da, dg] -- the
     # transposed layout of the reference's prediv_eigenvalues fast path
     # (kfac/layers/eigen.py:345-348), matching the engine's transpose-free
@@ -53,9 +61,14 @@ class BucketState:
 
 @flax.struct.dataclass
 class KFACState:
-    """Complete preconditioner state: step counter + factor buckets."""
+    """Complete preconditioner state.
+
+    ``factors`` maps layer name -> running (A, G) covariance factors at
+    true dims; ``buckets`` holds the block-stacked second-order state.
+    """
 
     steps: jax.Array  # int32 scalar
+    factors: dict[str, CapturedFactors]
     buckets: dict[str, BucketState]
 
 
@@ -66,6 +79,23 @@ def _eye_stack(n_blocks: int, dim: int, dtype: Any) -> jax.Array:
     )
 
 
+def init_layer_factors(
+    a_dim: int,
+    g_dim: int,
+    factor_dtype: Any = jnp.float32,
+) -> CapturedFactors:
+    """Identity-initialized running factors for one layer.
+
+    Matches the reference's first-update semantics
+    (``kfac/layers/base.py:375-405`` initializes the running average to I
+    immediately before the first EMA step).
+    """
+    return CapturedFactors(
+        a=jnp.eye(a_dim, dtype=factor_dtype),
+        g=jnp.eye(g_dim, dtype=factor_dtype),
+    )
+
+
 def init_bucket_state(
     n_blocks: int,
     a_dim: int,
@@ -73,33 +103,23 @@ def init_bucket_state(
     *,
     compute_method: str = 'eigen',
     prediv_eigenvalues: bool = True,
-    factor_dtype: Any = jnp.float32,
     inv_dtype: Any = jnp.float32,
 ) -> BucketState:
-    """Initialize one bucket.
+    """Initialize one bucket's second-order state.
 
-    Factors start at the identity, matching the reference's first-update
-    semantics (``kfac/layers/base.py:375-405`` initializes the running
-    average to I immediately before the first EMA step). Second-order state
-    starts at the identity decomposition so preconditioning before the first
-    inverse update is a benign near-identity map.
+    Starts at the identity decomposition so preconditioning before the
+    first inverse update is a benign near-identity map.
     """
-    a_factor = _eye_stack(n_blocks, a_dim, factor_dtype)
-    g_factor = _eye_stack(n_blocks, g_dim, factor_dtype)
     if compute_method == 'eigen':
         qa = _eye_stack(n_blocks, a_dim, inv_dtype)
         qg = _eye_stack(n_blocks, g_dim, inv_dtype)
         if prediv_eigenvalues:
             return BucketState(
-                a_factor=a_factor,
-                g_factor=g_factor,
                 qa=qa,
                 qg=qg,
                 dgda=jnp.ones((n_blocks, a_dim, g_dim), dtype=inv_dtype),
             )
         return BucketState(
-            a_factor=a_factor,
-            g_factor=g_factor,
             qa=qa,
             qg=qg,
             da=jnp.ones((n_blocks, a_dim), dtype=inv_dtype),
@@ -107,8 +127,6 @@ def init_bucket_state(
         )
     elif compute_method == 'inverse':
         return BucketState(
-            a_factor=a_factor,
-            g_factor=g_factor,
             a_inv=_eye_stack(n_blocks, a_dim, inv_dtype),
             g_inv=_eye_stack(n_blocks, g_dim, inv_dtype),
         )

@@ -75,12 +75,13 @@ def test_orbax_round_trip(tmp_path) -> None:
     save_kfac_state(path, state)
     restored = restore_kfac_state(path, precond)
     assert int(restored.steps) == int(state.steps)
-    for key in state.buckets:
+    for name in state.factors:
         np.testing.assert_allclose(
-            np.asarray(restored.buckets[key].a_factor),
-            np.asarray(state.buckets[key].a_factor),
+            np.asarray(restored.factors[name].a),
+            np.asarray(state.factors[name].a),
             atol=1e-6,
         )
+    for key in state.buckets:
         # inverses recomputed -> same preconditioning
         np.testing.assert_allclose(
             np.asarray(restored.buckets[key].qa),

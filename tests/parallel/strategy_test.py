@@ -125,14 +125,12 @@ def test_sharded_matches_single_device(fraction) -> None:
         params_ref,
     )
 
-    # The 8-block bucket's factors must actually be sharded: each device
-    # holds exactly one block (owner-computes layout over the full world).
+    # Factors are replicated per layer (reference parity: factors are
+    # allreduced to every rank); the distributed state is the
+    # second-order stack, checked in the layout test below.
     bucket8 = next(b for b in precond.plan if b.n_blocks == 8)
-    a_factor = state.buckets[bucket8.key].a_factor
-    shard_blocks = {
-        s.data.shape[0] for s in a_factor.addressable_shards
-    }
-    assert shard_blocks == {1}, f'expected 1 block/device, got {shard_blocks}'
+    assert state.factors is not None
+    del bucket8
 
 
 def test_second_order_layout_matches_strategy() -> None:

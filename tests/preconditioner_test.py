@@ -33,15 +33,15 @@ def test_init_state_shapes() -> None:
     assert int(state.steps) == 0
     total_blocks = sum(len(b.specs) for b in precond.plan)
     assert total_blocks == 2
+    for name, spec in precond.specs.items():
+        cf = state.factors[name]
+        assert cf.a.shape == spec.a_shape
+        # identity init
+        np.testing.assert_allclose(np.asarray(cf.a), np.eye(spec.a_shape[0]))
     for bucket in precond.plan:
         bs = state.buckets[bucket.key]
-        assert bs.a_factor.shape == (
+        assert bs.qa.shape == (
             bucket.n_blocks, bucket.a_dim, bucket.a_dim,
-        )
-        # identity init
-        np.testing.assert_allclose(
-            np.asarray(bs.a_factor[0]),
-            np.eye(bucket.a_dim),
         )
 
 
@@ -52,17 +52,12 @@ def test_step_updates_factors_with_ema() -> None:
     _, grads, captured = fn(params, x, y)
     _, new_state = precond.step(state, grads, captured)
     assert int(new_state.steps) == 1
-    for bucket in precond.plan:
-        (spec,) = bucket.specs[:1]
-        key, idx = next(
-            (k, i)
-            for k, i in [(bucket.key, 0)]
-        )
-        expected = 0.95 * np.eye(bucket.a_dim) + 0.05 * np.asarray(
-            captured[spec.name].a,
+    for name, spec in precond.specs.items():
+        expected = 0.95 * np.eye(spec.a_shape[0]) + 0.05 * np.asarray(
+            captured[name].a,
         )
         np.testing.assert_allclose(
-            np.asarray(new_state.buckets[key].a_factor[idx]),
+            np.asarray(new_state.factors[name].a),
             expected,
             atol=1e-5,
         )
@@ -133,16 +128,14 @@ def test_update_interval_gating() -> None:
 
     # step 0: both update (0 % n == 0)
     _, s1 = step(state, grads, captured)
+    name = next(iter(precond.specs))
     key = precond.plan[0].key
-    a_after_0 = np.asarray(s1.buckets[key].a_factor)
-    assert not np.allclose(a_after_0, np.asarray(state.buckets[key].a_factor))
+    a_after_0 = np.asarray(s1.factors[name].a)
+    assert not np.allclose(a_after_0, np.asarray(state.factors[name].a))
 
     # step 1: factor_update gated off -> factors unchanged
     _, s2 = step(s1, grads, captured)
-    np.testing.assert_allclose(
-        np.asarray(s2.buckets[key].a_factor),
-        a_after_0,
-    )
+    np.testing.assert_allclose(np.asarray(s2.factors[name].a), a_after_0)
 
     # inverses recomputed only at steps 0, 4, ...
     q_after_0 = np.asarray(s1.buckets[key].qa)
@@ -166,10 +159,10 @@ def test_step_without_capture_skips_factor_update() -> None:
     fn = precond.value_and_grad(loss_fn)
     _, grads, _ = fn(params, x, y)
     _, new_state = precond.step(state, grads, captured=None)
-    key = precond.plan[0].key
+    name = next(iter(precond.specs))
     np.testing.assert_allclose(
-        np.asarray(new_state.buckets[key].a_factor),
-        np.asarray(state.buckets[key].a_factor),
+        np.asarray(new_state.factors[name].a),
+        np.asarray(state.factors[name].a),
     )
     assert int(new_state.steps) == 1
 
@@ -187,10 +180,10 @@ def test_state_dict_round_trip() -> None:
 
     restored = precond.load_state_dict(sd)
     assert int(restored.steps) == 1
-    for bucket in precond.plan:
+    for name in precond.specs:
         np.testing.assert_allclose(
-            np.asarray(restored.buckets[bucket.key].a_factor),
-            np.asarray(state.buckets[bucket.key].a_factor),
+            np.asarray(restored.factors[name].a),
+            np.asarray(state.factors[name].a),
             atol=1e-6,
         )
         # inverses recomputed on load -> preconditioning matches
@@ -235,13 +228,8 @@ def test_callable_hyperparams() -> None:
     _, grads, captured = fn(params, x, y)
     # step 0 -> decay = min(1 - 1/1, 0.95) = 0.0 -> factor == captured cov
     _, s1 = step(state, grads, captured)
-    key, idx = None, None
-    for bucket in precond.plan:
-        for i, spec in enumerate(bucket.specs):
-            if spec.name == 'Dense_0':
-                key, idx = bucket.key, i
     np.testing.assert_allclose(
-        np.asarray(s1.buckets[key].a_factor[idx]),
+        np.asarray(s1.factors['Dense_0'].a),
         np.asarray(captured['Dense_0'].a),
         atol=1e-5,
     )

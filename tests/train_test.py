@@ -135,7 +135,7 @@ def test_bf16_training_end_to_end() -> None:
     )
     state = precond.init()
     # factors stored f32 even though activations are bf16
-    assert state.buckets[precond.plan[0].key].a_factor.dtype == jnp.float32
+    assert next(iter(state.factors.values())).a.dtype == jnp.float32
     tx = optax.sgd(0.1)
     step = make_train_step(precond, loss_fn, tx)
     carry = KFACTrainCarry(params, tx.init(params), state)
