@@ -180,7 +180,9 @@ def main() -> None:
             f'val_loss={val_loss:.4f} val_acc={val_acc * 100:.2f}%',
         )
         if kfac_scheduler is not None:
-            kfac_scheduler.step(epoch)
+            state = state.replace(
+                kfac_state=kfac_scheduler.step(state.kfac_state, epoch),
+            )
         if (
             args.checkpoint_dir
             and (epoch + 1) % args.checkpoint_freq == 0

@@ -46,6 +46,9 @@ def parse_args() -> argparse.Namespace:
     # KFAC
     p.add_argument('--kfac-inv-update-steps', type=int, default=100)
     p.add_argument('--kfac-factor-update-steps', type=int, default=10)
+    p.add_argument('--kfac-update-steps-alpha', type=float, default=10)
+    p.add_argument('--kfac-update-steps-decay', nargs='+', type=int,
+                   default=None)
     p.add_argument('--kfac-inv-method', action='store_true')
     p.add_argument('--kfac-factor-decay', type=float, default=0.95)
     p.add_argument('--kfac-damping', type=float, default=0.001)
@@ -184,7 +187,9 @@ def main() -> None:
             f'val_loss={val_loss:.4f} val_acc={val_acc * 100:.2f}%',
         )
         if kfac_scheduler is not None:
-            kfac_scheduler.step(epoch)
+            state = state.replace(
+                kfac_state=kfac_scheduler.step(state.kfac_state, epoch),
+            )
         if args.checkpoint_dir and (epoch + 1) % args.checkpoint_freq == 0:
             path = os.path.join(args.checkpoint_dir, f'ckpt_{epoch}')
             save_checkpoint(

@@ -65,14 +65,30 @@ def get_optimizer(
         skip_layers=args.kfac_skip_layers,
     )
 
+    # Epoch-boundary multiplicative schedules: damping and the update
+    # intervals decay by alpha at their decay epochs (reference
+    # ``examples/vision/optimizers.py:75-109``). The scheduler returns a
+    # new KFACState; the caller threads it:
+    #   state = sched.step(state.kfac_state, epoch)
+    def decay_lambda(alpha: float, epochs: Any):
+        eps = set(epochs or ())
+        return lambda epoch: alpha if epoch in eps else 1.0
+
     kfac_scheduler = None
-    if args.kfac_damping_decay:
-        kfac_scheduler = LambdaParamScheduler(
-            precond,
-            damping_lambda=lambda epoch: (
-                args.kfac_damping_alpha
-                if epoch in args.kfac_damping_decay
-                else 1.0
-            ),
-        )
+    update_decay = getattr(args, 'kfac_update_steps_decay', None)
+    if args.kfac_damping_decay or update_decay:
+        kwargs: dict[str, Any] = {}
+        if args.kfac_damping_decay:
+            kwargs['damping_lambda'] = decay_lambda(
+                args.kfac_damping_alpha, args.kfac_damping_decay,
+            )
+        if update_decay:
+            alpha = args.kfac_update_steps_alpha
+            kwargs['factor_update_steps_lambda'] = decay_lambda(
+                alpha, update_decay,
+            )
+            kwargs['inv_update_steps_lambda'] = decay_lambda(
+                alpha, update_decay,
+            )
+        kfac_scheduler = LambdaParamScheduler(precond, **kwargs)
     return tx, precond, lr_schedule, kfac_scheduler

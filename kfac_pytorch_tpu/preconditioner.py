@@ -107,6 +107,18 @@ def _resolve(hp: HyperParam, steps: jax.Array) -> Any:
     return hp(steps) if callable(hp) else hp
 
 
+# Hyperparameters that live in ``KFACState.hyperparams`` (when given as
+# constants) so that ``LambdaParamScheduler`` mutations reach jitted steps.
+_SCHEDULABLE = (
+    ('factor_update_steps', jnp.int32),
+    ('inv_update_steps', jnp.int32),
+    ('damping', jnp.float32),
+    ('factor_decay', jnp.float32),
+    ('kl_clip', jnp.float32),
+    ('lr', jnp.float32),
+)
+
+
 class KFACPreconditioner:
     """KAISA K-FAC distributed gradient preconditioner for flax models.
 
@@ -415,6 +427,44 @@ class KFACPreconditioner:
     # State lifecycle
     # ------------------------------------------------------------------
 
+    def _hp(self, state: KFACState, key: str) -> Any:
+        """Resolve a hyperparameter for this step.
+
+        Callable hyperparams are evaluated on the traced step counter;
+        constants are read from ``state.hyperparams`` (traced, so scheduler
+        mutations reach compiled functions). Falls back to the constructor
+        constant for states without the hyperparams dict.
+        """
+        ctor = getattr(self, f'_{key}')
+        if callable(ctor):
+            return ctor(state.steps)
+        hp = getattr(state, 'hyperparams', None)
+        if hp and key in hp:
+            return hp[key]
+        return ctor
+
+    def _static_one(self, key: str) -> bool:
+        """Whether an update interval is the literal constant 1.
+
+        Used to specialize the step structure (no ``lax.cond``). Note:
+        a step compiled with this specialization updates every step even
+        if a scheduler later raises the interval; rebuild the step to
+        re-enable gating (scheduling an interval *away from 1* is the one
+        schedule the compiled structure cannot express).
+        """
+        ctor = getattr(self, f'_{key}')
+        return isinstance(ctor, int) and ctor == 1
+
+    def init_hyperparams(self) -> dict[str, jax.Array]:
+        """Traced-scalar snapshot of the constant hyperparameters."""
+        out: dict[str, jax.Array] = {}
+        for key, dtype in _SCHEDULABLE:
+            value = getattr(self, f'_{key}')
+            if value is None or callable(value):
+                continue
+            out[key] = jnp.asarray(value, dtype)
+        return out
+
     def init(self) -> KFACState:
         """Create the initial preconditioner state."""
         method = (
@@ -457,6 +507,7 @@ class KFACPreconditioner:
             steps=jnp.zeros((), jnp.int32),
             factors=factors,
             buckets=buckets,
+            hyperparams=self.init_hyperparams(),
         )
 
     def as_gradient_transformation(self) -> Any:
@@ -655,9 +706,9 @@ class KFACPreconditioner:
             ``(preconditioned_grads, new_state)``.
         """
         steps = state.steps
-        damping = _resolve(self._damping, steps)
-        decay = _resolve(self._factor_decay, steps)
-        lr = _resolve(self._lr, steps)
+        damping = self._hp(state, 'damping')
+        decay = self._hp(state, 'factor_decay')
+        lr = self._hp(state, 'lr')
 
         # Stage 1: factor running averages (reference base.py:375-405).
         # force_factor_update lets a caller that already gated the capture
@@ -665,8 +716,8 @@ class KFACPreconditioner:
         # gate -- one branch instead of two avoids re-threading the factor
         # buffers through a second cond.
         if captured is not None:
-            fus = _resolve(self._factor_update_steps, steps)
-            if force_factor_update or (isinstance(fus, int) and fus == 1):
+            fus = self._hp(state, 'factor_update_steps')
+            if force_factor_update or self._static_one('factor_update_steps'):
                 factors = self._update_factors(state.factors, captured, decay)
             else:
                 factors = jax.lax.cond(
@@ -678,8 +729,8 @@ class KFACPreconditioner:
             state = state.replace(factors=factors)
 
         # Stage 2: second-order info (eigendecomp or damped inverse).
-        ius = _resolve(self._inv_update_steps, steps)
-        if isinstance(ius, int) and ius == 1:
+        ius = self._hp(state, 'inv_update_steps')
+        if self._static_one('inv_update_steps'):
             buckets = self._compute_second_order(
                 state.buckets, state.factors, damping,
             )
@@ -725,7 +776,7 @@ class KFACPreconditioner:
 
         # Stage 4: KL clip scale (reference base_preconditioner.py:411-435).
         if self._kl_clip is not None:
-            kl = _resolve(self._kl_clip, steps)
+            kl = self._hp(state, 'kl_clip')
             scale = kl_clip_scale(vg_sum, kl)
         else:
             scale = None
@@ -769,16 +820,18 @@ class KFACPreconditioner:
         Inverses are not saved (recomputed on load), matching the reference.
         """
         sd: dict[str, Any] = {'steps': int(state.steps)}
-        for key, value in [
-            ('factor_update_steps', self._factor_update_steps),
-            ('inv_update_steps', self._inv_update_steps),
-            ('damping', self._damping),
-            ('factor_decay', self._factor_decay),
-            ('kl_clip', self._kl_clip),
-            ('lr', self._lr),
-        ]:
-            if not callable(value):
+        hp = getattr(state, 'hyperparams', None) or {}
+        for key, _ in _SCHEDULABLE:
+            ctor = getattr(self, f'_{key}')
+            if callable(ctor):
+                continue
+            if key in hp:
+                value = hp[key].item()
+                if key in ('factor_update_steps', 'inv_update_steps'):
+                    value = int(value)
                 sd[key] = value
+            elif ctor is not None:
+                sd[key] = ctor
         if include_factors:
             layers: dict[str, dict[str, jax.Array]] = {}
             for name in self._specs:
@@ -800,17 +853,10 @@ class KFACPreconditioner:
         constructor values (mirroring reference ``load_state_dict``,
         ``base_preconditioner.py:249-308``).
         """
-        for key in (
-            'factor_update_steps',
-            'inv_update_steps',
-            'damping',
-            'factor_decay',
-            'kl_clip',
-            'lr',
-        ):
+        for key, _ in _SCHEDULABLE:
             if key in state_dict:
                 setattr(self, f'_{key}', state_dict[key])
-        state = self.init()
+        state = self.init()  # init_hyperparams() picks up the overrides
         state = state.replace(
             steps=jnp.asarray(state_dict['steps'], jnp.int32),
         )
@@ -829,7 +875,7 @@ class KFACPreconditioner:
                 )
             state = state.replace(factors=factors)
             if compute_inverses:
-                damping = _resolve(self._damping, state.steps)
+                damping = self._hp(state, 'damping')
                 state = state.replace(
                     buckets=self._compute_second_order(
                         state.buckets,

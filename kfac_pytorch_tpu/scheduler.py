@@ -1,17 +1,29 @@
 """Multiplicative hyperparameter scheduler.
 
 Counterpart of reference ``LambdaParamScheduler`` (``kfac/scheduler.py:
-10-167`` of gpauloski/kfac-pytorch). The preconditioner's non-callable
-hyperparameters are multiplied in place by per-step lambda factors. Because
-the hyperparameters live on the (Python-side) preconditioner object and are
-fed into jit as scalars, mutating them does not trigger recompilation.
+10-167`` of gpauloski/kfac-pytorch). The reference multiplies mutable
+hyperparameter fields on the preconditioner object; here the schedulable
+hyperparameters live in ``KFACState.hyperparams`` as traced scalars, so
+``step`` is a *functional* update: it returns a new state whose values a
+jitted ``precond.step`` reads as inputs on its next call. No
+recompilation is triggered, and -- unlike mutating Python attributes --
+the mutation actually reaches the compiled function.
+
+One structural caveat: a step function compiled while an update interval
+(``factor_update_steps`` / ``inv_update_steps``) is the literal constant 1
+specializes away the interval gate entirely; scheduling that interval
+upward later requires rebuilding the step (see
+``KFACPreconditioner._static_one``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import jax.numpy as jnp
+
 from kfac_pytorch_tpu.preconditioner import KFACPreconditioner
+from kfac_pytorch_tpu.state import KFACState
 
 __all__ = ['LambdaParamScheduler']
 
@@ -27,6 +39,12 @@ _FIELDS = (
 
 class LambdaParamScheduler:
     """Multiplicative lambda schedules for K-FAC hyperparameters.
+
+    Usage::
+
+        sched = LambdaParamScheduler(precond, damping_lambda=lambda e: 0.5)
+        ...
+        state = sched.step(state)          # at each decay boundary
 
     Note:
         Mutually exclusive with passing callables for the corresponding
@@ -54,32 +72,63 @@ class LambdaParamScheduler:
             'kl_clip': kl_clip_lambda,
             'lr': lr_lambda,
         }
-        self._steps = 0
+        self._calls = 0
         for field, lam in self._lambdas.items():
-            if lam is not None and callable(
-                getattr(preconditioner, f'_{field}'),
-            ):
+            if lam is None:
+                continue
+            if callable(getattr(preconditioner, f'_{field}')):
                 raise ValueError(
                     f'preconditioner.{field} is already a callable and '
                     'cannot be updated by the LambdaParamScheduler.',
                 )
+            if field == 'kl_clip' and preconditioner._kl_clip is None:
+                raise ValueError(
+                    'kl_clip_lambda given but the preconditioner was '
+                    'constructed with kl_clip=None',
+                )
 
-    def step(self, step: int | None = None) -> None:
+    def step(
+        self,
+        state: KFACState,
+        step: int | None = None,
+    ) -> KFACState:
         """Multiply each scheduled hyperparameter by its lambda factor.
 
-        Call after ``preconditioner.step()``; ``step`` overrides the
-        internal call counter when given.
+        Args:
+            state: current preconditioner state; the scheduled values in
+                ``state.hyperparams`` are multiplied.
+            step: value passed to the lambdas. Defaults to the
+                preconditioner's actual step count ``int(state.steps)``
+                (matching the reference, which feeds
+                ``preconditioner.steps``, ``kfac/scheduler.py:128-167``) --
+                NOT a per-call counter, so scan/chunked train loops that
+                advance many K-FAC steps per host call keep reference
+                cadence. Call-count cadence is available via
+                ``step=scheduler.calls``.
+
+        Returns:
+            The state with updated ``hyperparams``.
         """
-        current = step if step is not None else self._steps
+        current = int(state.steps) if step is None else step
+        hp = dict(state.hyperparams)
         for field, lam in self._lambdas.items():
             if lam is None:
                 continue
             factor = lam(current)
-            attr = f'_{field}'
-            value = getattr(self._preconditioner, attr)
-            assert not callable(value)
-            new_value = value * factor
+            value = hp[field] * factor
             if field in ('factor_update_steps', 'inv_update_steps'):
-                new_value = int(new_value)
-            setattr(self._preconditioner, attr, new_value)
-        self._steps += 1
+                value = jnp.asarray(value, jnp.int32)
+            else:
+                value = jnp.asarray(value, jnp.float32)
+            hp[field] = value
+            # Mirror onto the Python-side constant so introspection
+            # (__repr__, should_update_factors) stays consistent.
+            pyval = value.item()
+            setattr(self._preconditioner, f'_{field}', pyval)
+        self._calls += 1
+        return state.replace(hyperparams=hp)
+
+    @property
+    def calls(self) -> int:
+        """Number of times ``step`` has been called."""
+        return self._calls

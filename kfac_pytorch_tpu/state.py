@@ -65,11 +65,25 @@ class KFACState:
 
     ``factors`` maps layer name -> running (A, G) covariance factors at
     true dims; ``buckets`` holds the block-stacked second-order state.
+
+    ``hyperparams`` holds the schedulable hyperparameters as traced
+    scalars (f32, or int32 for the update intervals). Keeping them in the
+    state -- not as Python attributes baked into the trace -- is what makes
+    ``LambdaParamScheduler`` work under jit: the compiled step reads the
+    current values from its inputs every call, so host-side schedule
+    mutations take effect without recompilation (the reference instead
+    re-reads mutable object fields each Python-level step,
+    ``kfac/base_preconditioner.py:160-208`` of gpauloski/kfac-pytorch).
+    Hyperparameters passed to the preconditioner as *callables* are not
+    stored here; they are resolved from ``steps`` inside the trace.
     """
 
     steps: jax.Array  # int32 scalar
     factors: dict[str, CapturedFactors]
     buckets: dict[str, BucketState]
+    hyperparams: dict[str, jax.Array] = flax.struct.field(
+        default_factory=dict,
+    )
 
 
 def _eye_stack(n_blocks: int, dim: int, dtype: Any) -> jax.Array:

@@ -37,6 +37,7 @@ def test_scheduler_multiplies_params() -> None:
         lr=0.1,
         factor_decay=0.9,
     )
+    state = precond.init()
     sched = LambdaParamScheduler(
         precond,
         damping_lambda=lambda step: 0.5,
@@ -46,13 +47,17 @@ def test_scheduler_multiplies_params() -> None:
         lr_lambda=lambda step: 0.1,
         factor_decay_lambda=lambda step: 1.0,
     )
-    sched.step()
+    state = sched.step(state)
+    hp = state.hyperparams
+    assert float(hp['damping']) == pytest.approx(0.005)
+    assert int(hp['factor_update_steps']) == 8
+    assert int(hp['inv_update_steps']) == 16
+    assert float(hp['kl_clip']) == pytest.approx(0.001)
+    assert float(hp['lr']) == pytest.approx(0.01)
+    assert float(hp['factor_decay']) == pytest.approx(0.9)
+    # Python-side mirrors stay consistent for introspection.
     assert precond._damping == pytest.approx(0.005)
     assert precond._factor_update_steps == 8
-    assert precond._inv_update_steps == 16
-    assert precond._kl_clip == pytest.approx(0.001)
-    assert precond._lr == pytest.approx(0.01)
-    assert precond._factor_decay == pytest.approx(0.9)
 
 
 def test_scheduler_rejects_callable_params() -> None:
@@ -63,13 +68,66 @@ def test_scheduler_rejects_callable_params() -> None:
 
 def test_scheduler_step_override() -> None:
     precond = _precond(lr=1.0)
+    state = precond.init()
     factors = {0: 1.0, 5: 0.1}
     sched = LambdaParamScheduler(
         precond,
         lr_lambda=lambda step: factors.get(step, 1.0),
     )
-    sched.step(step=5)
-    assert precond._lr == pytest.approx(0.1)
+    state = sched.step(state, step=5)
+    assert float(state.hyperparams['lr']) == pytest.approx(0.1)
+
+
+def test_scheduler_default_step_is_precond_steps() -> None:
+    """Lambdas see the actual K-FAC step count, not a call counter."""
+    precond = _precond(lr=1.0)
+    state = precond.init()
+    state = state.replace(steps=jnp.asarray(7, jnp.int32))
+    seen = []
+
+    def lam(step: int) -> float:
+        seen.append(step)
+        return 1.0
+
+    sched = LambdaParamScheduler(precond, lr_lambda=lam)
+    sched.step(state)
+    assert seen == [7]
+    assert sched.calls == 1
+
+
+def test_scheduler_mutation_reaches_jitted_step() -> None:
+    """Regression: a jitted ``precond.step`` must use post-mutation
+    hyperparameters (round-1 VERDICT: mutations were baked in at trace
+    time and silently ignored)."""
+    import jax
+
+    precond = _precond(
+        damping=0.001,
+        factor_update_steps=1,
+        inv_update_steps=1,
+        kl_clip=None,
+    )
+    state = precond.init()
+    vag = jax.jit(precond.value_and_grad(lambda p, x: ((
+        TinyModel().apply({'params': p['params']}, x) ** 2).sum())))
+    step = jax.jit(precond.step)
+
+    x = jnp.ones((4, 8))
+    params = TinyModel().init(jax.random.PRNGKey(0), x)
+    (_, _), grads, captured = vag(params, x)
+    pg_before, state2 = step(state, grads, captured)
+
+    sched = LambdaParamScheduler(
+        precond, damping_lambda=lambda s: 1000.0,
+    )
+    state_mut = sched.step(state)
+    pg_after, _ = step(state_mut, grads, captured)
+
+    before = jax.tree.leaves(pg_before)[0]
+    after = jax.tree.leaves(pg_after)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after)), (
+        'damping mutation had no effect on the jitted step'
+    )
 
 
 def test_exp_decay_factor_averaging() -> None:

@@ -101,11 +101,22 @@ def test_scan_matches_eager_loop() -> None:
     )
 
 
-def test_train_step_rejects_callable_fus() -> None:
+def test_train_step_supports_callable_fus() -> None:
+    """Callable update intervals resolve on the traced step counter."""
     _, params, precond, tx, loss_fn, x, y = _setup()
-    precond._factor_update_steps = lambda s: 1
-    with pytest.raises(ValueError):
-        make_train_step(precond, loss_fn, tx)
+    precond._factor_update_steps = lambda s: 2
+    state = precond.init()
+    assert 'factor_update_steps' not in state.hyperparams
+    step = jax.jit(make_train_step(precond, loss_fn, tx))
+    carry = KFACTrainCarry(params, tx.init(params), state, None)
+    carry, _ = step(carry, (x, y))  # step 0: capture
+    f0 = carry.kfac_state.factors
+    carry, _ = step(carry, (x, y))  # step 1: fast path, factors unchanged
+    f1 = carry.kfac_state.factors
+    for name in f0:
+        np.testing.assert_array_equal(
+            np.asarray(f0[name].a), np.asarray(f1[name].a),
+        )
 
 
 def test_bf16_training_end_to_end() -> None:
