@@ -46,6 +46,7 @@ from kfac_pytorch_tpu.ops.curvature import damped_inverse
 from kfac_pytorch_tpu.ops.curvature import eigh_factor
 from kfac_pytorch_tpu.ops.curvature import ema_update
 from kfac_pytorch_tpu.ops.curvature import kl_clip_scale
+from kfac_pytorch_tpu.ops.refine import refine_eigh
 from kfac_pytorch_tpu.capture import CapturedFactors
 from kfac_pytorch_tpu.state import BucketState
 from kfac_pytorch_tpu.state import init_bucket_state
@@ -161,6 +162,8 @@ class KFACPreconditioner:
         colocate_factors: bool = True,
         compute_method: ComputeMethod | str = ComputeMethod.EIGEN,
         compute_eigenvalue_outer_product: bool = True,
+        eigensolver: str = 'auto',  # 'auto' | 'xla' | 'refine'
+        refine_iterations: int = 3,
         grad_worker_fraction: DistributedStrategy | float = (
             DistributedStrategy.COMM_OPT
         ),
@@ -242,6 +245,23 @@ class KFACPreconditioner:
             compute_eigenvalue_outer_product
             and compute_method == ComputeMethod.EIGEN
         )
+        # In-loop eigensolver. XLA's TPU eigh is latency-bound (47-77ms
+        # per refresh for ResNet-20-sized buckets, any conditioning);
+        # 'refine' replaces it with the warm-started matmul-only
+        # refinement of ops/refine.py, exploiting that the engine always
+        # carries the previous eigenbasis. 'auto' picks 'refine' on
+        # accelerator backends and exact 'xla' on CPU (where eigh is
+        # cheap and tests pin exact parity with the reference).
+        if eigensolver not in ('auto', 'xla', 'refine'):
+            raise ValueError(f'Unknown eigensolver={eigensolver}')
+        if eigensolver == 'auto':
+            eigensolver = (
+                'xla' if jax.default_backend() == 'cpu' else 'refine'
+            )
+        self.eigensolver = eigensolver
+        if refine_iterations <= 0:
+            raise ValueError('refine_iterations must be > 0')
+        self.refine_iterations = refine_iterations
         self.grad_worker_fraction = grad_worker_fraction
         self.sharding = sharding
         self.accumulation_steps = accumulation_steps
@@ -589,7 +609,9 @@ class KFACPreconditioner:
         buckets: dict[str, BucketState],
         factors: dict[str, CapturedFactors],
         damping: Any,
+        solver: str | None = None,
     ) -> dict[str, BucketState]:
+        solver = self.eigensolver if solver is None else solver
         out = {}
         so = lambda x: self._constrain(x, 'second_order')  # noqa: E731
         for bucket in self._plan:
@@ -617,8 +639,24 @@ class KFACPreconditioner:
                 'factors',
             )
             if self.compute_method == ComputeMethod.EIGEN:
-                qa, da = eigh_factor(a_stacked, self.inv_dtype)
-                qg, dg = eigh_factor(g_stacked, self.inv_dtype)
+                if solver == 'refine':
+                    # Warm-started matmul-only refresh (ops/refine.py):
+                    # the previous eigenbasis (identity at init) seeds
+                    # the refinement -- the in-loop path on TPU where
+                    # XLA's eigh is latency-bound.
+                    qa, da = refine_eigh(
+                        a_stacked, bs.qa, damping, self.refine_iterations,
+                    )
+                    qg, dg = refine_eigh(
+                        g_stacked, bs.qg, damping, self.refine_iterations,
+                    )
+                    qa = qa.astype(self.inv_dtype)
+                    da = da.astype(self.inv_dtype)
+                    qg = qg.astype(self.inv_dtype)
+                    dg = dg.astype(self.inv_dtype)
+                else:
+                    qa, da = eigh_factor(a_stacked, self.inv_dtype)
+                    qg, dg = eigh_factor(g_stacked, self.inv_dtype)
                 if self.prediv_eigenvalues:
                     # (B, a_dim, g_dim): transposed-prediv layout matching
                     # the (in, out) gradient convention.
@@ -876,11 +914,15 @@ class KFACPreconditioner:
             state = state.replace(factors=factors)
             if compute_inverses:
                 damping = self._hp(state, 'damping')
+                # Cold start: no warm basis exists, so always use the
+                # exact solver (this runs outside the training loop
+                # where eigh's latency is acceptable).
                 state = state.replace(
                     buckets=self._compute_second_order(
                         state.buckets,
                         state.factors,
                         damping,
+                        solver='xla',
                     ),
                 )
         return state

@@ -320,3 +320,72 @@ def test_bucket_padding_validation() -> None:
         KFACPreconditioner(
             model, example_args=(jnp.zeros((2, 8)),), bucket_padding='huge',
         )
+
+
+def test_refine_eigensolver_trains_and_tracks_exact() -> None:
+    """The warm-refinement eigensolver (the in-loop TPU path) must train
+    and produce preconditioned grads close to the exact-eigh path."""
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10),
+        10,
+    )
+    params0 = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        logits = model.apply(p, bx)
+        return optax.softmax_cross_entropy(logits, by).mean()
+
+    # Lockstep: one params trajectory (driven by the exact path) feeds the
+    # SAME grads/captures to both solvers every step, so the comparison
+    # below measures solver accuracy, not compounded trajectory divergence.
+    preconds = {
+        solver: KFACPreconditioner(
+            model,
+            example_args=(x,),
+            eigensolver=solver,
+            lr=0.1,
+            damping=0.003,
+        )
+        for solver in ('xla', 'refine')
+    }
+    states = {k: p.init() for k, p in preconds.items()}
+    vag = jax.jit(preconds['xla'].value_and_grad(loss_fn))
+    steps = {k: jax.jit(p.step) for k, p in preconds.items()}
+    params = params0
+    losses, rel_errs = [], []
+    for _ in range(20):
+        (loss, _), grads, captured = vag(params, x, y)
+        losses.append(float(loss))
+        pgs = {}
+        for k in preconds:
+            pgs[k], states[k] = steps[k](states[k], grads, captured)
+        exact = jax.tree.leaves(pgs['xla'])
+        approx = jax.tree.leaves(pgs['refine'])
+        rel_errs.append(
+            max(
+                float(jnp.max(jnp.abs(e - a)))
+                / (float(jnp.max(jnp.abs(e))) + 1e-12)
+                for e, a in zip(exact, approx)
+            ),
+        )
+        params = jax.tree.map(lambda p, g: p - 0.1 * g, params, pgs['xla'])
+
+    assert losses[-1] < losses[0]
+    # The refine path is approximate by design (see ops/refine.py): the
+    # identity-seeded first refresh is its worst case; warm refreshes
+    # track the exact path to a few percent.
+    assert rel_errs[-1] < 0.05, rel_errs
+    assert max(rel_errs[5:]) < 0.1, rel_errs
+
+
+def test_eigensolver_validation() -> None:
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    with pytest.raises(ValueError, match='eigensolver'):
+        KFACPreconditioner(model, example_args=(x,), eigensolver='qr')
+    with pytest.raises(ValueError, match='refine_iterations'):
+        KFACPreconditioner(
+            model, example_args=(x,), refine_iterations=0,
+        )
