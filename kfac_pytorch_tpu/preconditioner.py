@@ -65,16 +65,29 @@ HyperParam = Callable[[jax.Array], Any] | float | int
 
 @dataclass(frozen=True)
 class Bucket:
-    """Static plan for one block bucket (layers sharing factor dims)."""
+    """Static plan for one block bucket (layers sharing factor dims).
+
+    ``pad_blocks`` virtual blocks (identity factors, zero gradients) are
+    appended to the stack so the block count divides the mesh size and
+    the owner-computes sharding never degrades to replication (the
+    TPU realization of the reference's greedy placement driving
+    execution, ``kfac/assignment.py:227-319`` feeding
+    ``base_preconditioner.py:340-362`` of gpauloski/kfac-pytorch).
+    """
 
     key: str
     specs: tuple[LayerSpec, ...]
     a_dim: int
     g_dim: int
+    pad_blocks: int = 0
 
     @property
     def n_blocks(self) -> int:
         return len(self.specs)
+
+    @property
+    def total_blocks(self) -> int:
+        return len(self.specs) + self.pad_blocks
 
 
 def _pad_factor(f: jax.Array, dpad: int) -> jax.Array:
@@ -326,12 +339,39 @@ class KFACPreconditioner:
                 key = f'g{g_d}xa{a_d}'
                 grouped.setdefault(key, []).append(spec)
                 dims[key] = (a_d, g_d)
+        # Owner-computes wiring (reference: greedy placement drives who
+        # computes what, ``kfac/assignment.py:227-319`` ->
+        # ``base_preconditioner.py:340-362``). With a mesh present:
+        # order each bucket's block slots by the greedy assignment's
+        # owner device, and pad the block count to world-size
+        # divisibility (identity factors / zero grads -- mathematically
+        # inert) so the 'factors'-stage sharding fully distributes the
+        # decompositions instead of silently replicating on ragged
+        # (real-model) block counts.
+        pad_counts = dict.fromkeys(grouped, 0)
+        if sharding is not None and sharding.world_size > 1:
+            from kfac_pytorch_tpu.assignment import block_placement
+            from kfac_pytorch_tpu.assignment import KAISAAssignment
+
+            world = sharding.world_size
+            assign = KAISAAssignment(
+                self.work(),
+                local_rank=0,
+                world_size=world,
+                grad_worker_fraction=sharding.grad_workers / world,
+                colocate_factors=colocate_factors,
+            )
+            placement = block_placement(assign, self._specs.keys())
+            for key, group in grouped.items():
+                group.sort(key=lambda s: (placement[s.name], s.name))
+                pad_counts[key] = -len(group) % world
         self._plan: tuple[Bucket, ...] = tuple(
             Bucket(
                 key=key,
                 specs=tuple(group),
                 a_dim=dims[key][0],
                 g_dim=dims[key][1],
+                pad_blocks=pad_counts[key],
             )
             for key, group in grouped.items()
         )
@@ -501,7 +541,7 @@ class KFACPreconditioner:
         }
         buckets = {
             bucket.key: init_bucket_state(
-                bucket.n_blocks,
+                bucket.total_blocks,
                 bucket.a_dim,
                 bucket.g_dim,
                 compute_method=method,
@@ -619,25 +659,28 @@ class KFACPreconditioner:
             # Stack (and pad) the per-layer running factors into the
             # bucket's block batch; the 'factors' constraint shards the
             # blocks over the mesh so each device decomposes only its
-            # assigned blocks (owner-computes).
-            a_stacked = self._constrain(
-                jnp.stack(
-                    [
-                        _pad_factor(factors[s.name].a, bucket.a_dim)
-                        for s in bucket.specs
-                    ],
-                ),
-                'factors',
-            )
-            g_stacked = self._constrain(
-                jnp.stack(
-                    [
-                        _pad_factor(factors[s.name].g, bucket.g_dim)
-                        for s in bucket.specs
-                    ],
-                ),
-                'factors',
-            )
+            # assigned blocks (owner-computes). pad_blocks identity
+            # blocks keep the count mesh-divisible (see Bucket).
+            def _stacked(attr: str, dim: int) -> jax.Array:
+                blocks = [
+                    _pad_factor(getattr(factors[s.name], attr), dim)
+                    for s in bucket.specs
+                ]
+                stacked = jnp.stack(blocks)
+                if bucket.pad_blocks:
+                    stacked = jnp.concatenate(
+                        [
+                            stacked,
+                            jnp.broadcast_to(
+                                jnp.eye(dim, dtype=stacked.dtype),
+                                (bucket.pad_blocks, dim, dim),
+                            ),
+                        ],
+                    )
+                return self._constrain(stacked, 'factors')
+
+            a_stacked = _stacked('a', bucket.a_dim)
+            g_stacked = _stacked('g', bucket.g_dim)
             if self.compute_method == ComputeMethod.EIGEN:
                 if solver == 'refine':
                     # Warm-started matmul-only refresh (ops/refine.py):
@@ -801,6 +844,18 @@ class KFACPreconditioner:
                     for spec in bucket.specs
                 ],
             )
+            if bucket.pad_blocks:
+                # Virtual blocks carry zero gradients: preconditioning
+                # and the KL-clip inner product are unaffected.
+                grad_mats = jnp.concatenate(
+                    [
+                        grad_mats,
+                        jnp.zeros(
+                            (bucket.pad_blocks,) + grad_mats.shape[1:],
+                            grad_mats.dtype,
+                        ),
+                    ],
+                )
             bs = state.buckets[bucket.key]
             pg = self._precondition_bucket(bucket, bs, grad_mats, damping)
             pg = self._constrain(pg, 'precond_grad')
