@@ -92,6 +92,82 @@ def _timed_scan(step_fn: Any, carry: Any, length: int) -> tuple[Any, float]:
     return out, elapsed / length
 
 
+def decomp_metrics(precond: Any) -> dict[str, Any]:
+    """Factor decomposition throughput on realistic spectra.
+
+    BASELINE.md target 1: factor eigendecomp/inverse TFLOP/s per chip.
+    Factors are built from correlated activations (rank-deficient,
+    cond >= 1e6) because XLA's QDWH eigh is iteration-bound: its cost is
+    data-dependent and near-identity inputs (a fresh ``init`` state)
+    understate it by ~50x (docs/PERF_NOTES.md). Times both the exact
+    batched eigh and the production in-loop path (warm ``refine_eigh``)
+    over the real bench-model buckets, in ONE scanned dispatch each.
+    ``tflops`` uses the conventional 9*d^3 eigh flop count.
+    """
+    import numpy as np
+
+    from kfac_pytorch_tpu.ops.curvature import eigh_factor
+    from kfac_pytorch_tpu.ops.refine import refine_eigh
+
+    rng = np.random.default_rng(0)
+    stacks = []
+    flops = 0.0
+    for bucket in precond.plan:
+        for dim in (bucket.a_dim, bucket.g_dim):
+            b = bucket.total_blocks
+            z = rng.standard_normal((b, 4 * dim, dim)).astype(np.float32)
+            mix = rng.standard_normal((dim, dim)).astype(
+                np.float32,
+            ) * np.logspace(0, -6, dim, dtype=np.float32)
+            z = z @ mix
+            stacks.append(jnp.asarray(
+                np.einsum('bni,bnj->bij', z, z) / (4 * dim),
+            ))
+            flops += 9.0 * b * float(dim) ** 3
+
+    n_iter = 20
+
+    def timed(step: Any, operands: Any) -> float:
+        @jax.jit
+        def run(operands: Any) -> Any:
+            def body(_, s):
+                return 0, step(operands, s)
+
+            scales = 1.0 + 0.001 * jnp.arange(n_iter, dtype=jnp.float32)
+            _, out = jax.lax.scan(body, 0, scales)
+            return out
+
+        jax.block_until_ready(run(operands))
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(operands))
+            best = min(best, time.perf_counter() - t0)
+        return best / n_iter
+
+    t_eigh = timed(
+        lambda ops, s: [jnp.sum(eigh_factor(a * s)[0]) for a in ops],
+        stacks,
+    )
+    # Warm refine: previous basis = exact eigenbasis of a nearby factor.
+    warm = [
+        (a, jnp.linalg.eigh(0.95 * a + 0.05 * jnp.eye(a.shape[-1]))[1])
+        for a in stacks
+    ]
+    t_refine = timed(
+        lambda ops, s: [
+            jnp.sum(refine_eigh(a * s, v0, 0.003, 3)[0]) for a, v0 in ops
+        ],
+        warm,
+    )
+    return {
+        'xla_eigh_ms': round(t_eigh * 1e3, 3),
+        'refine_refresh_ms': round(t_refine * 1e3, 3),
+        'xla_eigh_tflops': round(flops / t_eigh / 1e12, 3),
+        'refresh_speedup': round(t_eigh / t_refine, 2),
+    }
+
+
 def main() -> None:
     model, params, batch_stats, precond, loss_fn, x, y = build()
     tx = optax.sgd(0.1, momentum=0.9)
@@ -138,6 +214,7 @@ def main() -> None:
             'backend': jax.default_backend(),
             'factor_update_steps': 10,
             'inv_update_steps': 100,
+            'factor_decomp': decomp_metrics(precond),
         },
     }
     print(json.dumps(result))

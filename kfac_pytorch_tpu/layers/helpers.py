@@ -171,10 +171,13 @@ class Conv2dHelper(LayerHelper):
     kernel_size: tuple[int, int] = (1, 1)
     strides: tuple[int, int] = (1, 1)
     padding: Any = 'SAME'
-    # Optional fused Pallas im2col-covariance kernel (stride-1 convs on
-    # TPU). The default XLA path materializes patches behind an
-    # optimization barrier -- fusing the patch gather into the covariance
-    # matmul measured ~10x slower in large training graphs.
+    # A-factor algorithm: 'patches' (XLA conv_general_dilated_patches +
+    # Gram), 'rowgram' (patch-free row-pair Grams + band extraction, see
+    # ops/covariance.py:conv2d_a_factor_rowgram), or 'pallas' (fused
+    # VMEM-streaming kernel, stride-1 TPU only; falls back to 'patches'
+    # where unsupported). use_pallas=True is legacy shorthand for
+    # 'pallas'.
+    a_factor_method: str = 'patches'
     use_pallas: bool = False
 
     def _cov_permutation(self, c: int) -> Any:
@@ -193,9 +196,12 @@ class Conv2dHelper(LayerHelper):
 
     def get_a_factor(self, a: jax.Array) -> jax.Array:
         a = self._compute_cast(self._maybe_cast(a))
+        method = self.a_factor_method
+        if self.use_pallas:
+            method = 'pallas'
         if (
-            self.use_pallas
-            and self.strides == (1, 1)  # Mosaic: no strided vector slices
+            method == 'pallas'
+            and self.strides == (1, 1)  # slab slice-copy needs unit stride
             and a.shape[-1] >= 16  # tiny channel counts waste VMEM lanes
             and jax.default_backend() == 'tpu'
         ):
@@ -204,6 +210,18 @@ class Conv2dHelper(LayerHelper):
             )
 
             return conv2d_a_factor_fused(
+                a,
+                self.kernel_size,
+                self.strides,
+                self.padding,
+                has_bias=self.has_bias,
+            )
+        if method == 'rowgram':
+            from kfac_pytorch_tpu.ops.covariance import (
+                conv2d_a_factor_rowgram,
+            )
+
+            return conv2d_a_factor_rowgram(
                 a,
                 self.kernel_size,
                 self.strides,

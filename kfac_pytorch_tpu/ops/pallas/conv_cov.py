@@ -4,11 +4,22 @@ The TPU counterpart of the reference's CUDA-adjacent hot path: the conv
 activation covariance (``kfac/layers/modules.py:170-178`` of
 gpauloski/kfac-pytorch computes ``unfold`` -> scale -> ``a^T a``). A naive
 XLA lowering materializes the patch matrix in HBM -- ``kh*kw`` times the
-activation bytes -- and the tall-skinny covariance contraction it then
-feeds runs far below MXU speed-of-light. This kernel streams image tiles
-through VMEM, forms the patch slab in registers with a single lane
-concatenate (no misaligned scatter stores), and accumulates ``P^T P`` on
-the MXU in float32, so HBM sees each activation byte exactly once.
+activation bytes -- so the tall-skinny covariance contraction is
+bandwidth-bound; on the headline ResNet-20 bench the A factors alone cost
++4.15 ms per capture step (scripts/profile_capture.py). This kernel
+streams image tiles through VMEM and accumulates ``P^T P`` on the MXU in
+float32, so HBM sees each activation byte exactly once.
+
+Slab assembly insight: in NHWC layout the im2col slab
+``slab[n, y, x, (i, j, c)] = x[n, y+i, x+j, c]`` is ``kh*kw`` pure
+slice-copies into lane blocks -- no transposes, no gathers::
+
+    slab[:, :, :, k*C:(k+1)*C] = x[:, i:i+oh, j:j+ow, :]
+
+(an earlier revision built the TRANSPOSED slab with a per-window
+relayout, which measured slower than XLA at 16 channels). The flattened
+``(tn*oh*ow, d0)`` view of the slab then feeds one MXU contraction per
+tile.
 
 The homogeneous bias row/column is assembled analytically outside the
 kernel from the patch column-sums (``Q = [P, s*1]`` gives cross term
@@ -40,7 +51,7 @@ def _cov_kernel(
     x_ref,  # (TN, Hp, Wp, C) VMEM input tile (already padded)
     cov_ref,  # (d0, d0) f32 output
     sum_ref,  # (8, d0) f32 output, row 0 = column sums of P
-    win_ref,  # (d0, TN*oh*ow) scratch: transposed patch slab
+    slab_ref,  # (TN, oh, ow, d0) scratch: im2col slab
     acc_ref,  # (d0, d0) f32 scratch accumulator
     sacc_ref,  # (8, d0) f32 scratch column-sum accumulator
     *,
@@ -54,6 +65,7 @@ def _cov_kernel(
     out_h, out_w = out_hw
     tn = x_ref.shape[0]
     c = x_ref.shape[3]
+    d0 = kh * kw * c
     rows = tn * out_h * out_w
 
     @pl.when(pl.program_id(0) == 0)
@@ -63,28 +75,26 @@ def _cov_kernel(
             sacc_ref[...] = jnp.zeros_like(sacc_ref)
 
     x = x_ref[...] * jnp.asarray(inv_spatial, x_ref.dtype)
-    # Build the TRANSPOSED patch slab (d0, rows): window (i, j) occupies
-    # sublane rows [k*c, (k+1)*c) -- fully aligned stores, large minor
-    # dim (rows), so no VMEM lane waste for small channel counts. The
-    # feature order (kh, kw, c) matches flax kernel flattening.
+    # NHWC slab assembly: window (i, j) is a pure slice of the padded
+    # tile copied into its lane block. Feature order (kh, kw, c)
+    # matches flax kernel flattening.
     for i in range(kh):
         for j in range(kw):
-            s = jax.lax.slice(
+            k = i * kw + j
+            slab_ref[:, :, :, k * c:(k + 1) * c] = jax.lax.slice(
                 x,
                 (0, i, j, 0),
                 (tn, i + out_h, j + out_w, c),
             )
-            k = i * kw + j
-            win_ref[k * c:(k + 1) * c, :] = s.reshape(rows, c).T
-    p_t = win_ref[...]  # (d0, rows)
+    p = slab_ref[...].reshape(rows, d0)
     acc_ref[...] += jax.lax.dot_general(
-        p_t,
-        p_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        p,
+        p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if need_sums:
-        sacc_ref[0, :] += jnp.sum(p_t, axis=1, dtype=jnp.float32)
+        sacc_ref[0, :] += jnp.sum(p, axis=0, dtype=jnp.float32)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _finish():
@@ -109,8 +119,8 @@ def conv2d_a_factor_fused(
     Args:
         x: NHWC activations.
         kernel_size/strides/padding: conv geometry (flax conventions);
-            only ``strides=(1, 1)`` is supported (Mosaic has no strided
-            vector slices) -- use the XLA helper path otherwise.
+            only ``strides=(1, 1)`` is supported (the slab slice-copy
+            needs unit stride) -- use the XLA helper path otherwise.
         has_bias: append the homogeneous bias coordinate.
         batch_tile: images per grid step (auto-sized for VMEM when None).
 
@@ -121,9 +131,8 @@ def conv2d_a_factor_fused(
         raise ValueError(f'Expected NHWC input, got {x.shape}')
     if tuple(strides) != (1, 1):
         raise NotImplementedError(
-            'conv2d_a_factor_fused supports strides=(1, 1) only (Mosaic '
-            'has no strided vector slices); use the XLA helper path for '
-            'strided convolutions.',
+            'conv2d_a_factor_fused supports strides=(1, 1) only; use the '
+            'XLA helper path for strided convolutions.',
         )
     n, h, w, c = x.shape
     kh, kw = kernel_size
@@ -149,9 +158,9 @@ def conv2d_a_factor_fused(
     inv_spatial = 1.0 / spatial
 
     def _padded_bytes(shape: tuple[int, ...], itemsize: int) -> int:
-        # VMEM tiles are (8, 128): minor dim pads to 128 lanes, second
-        # minor to 8 sublanes; small channel counts cost far more VMEM
-        # than their logical size.
+        # VMEM tiles: minor dim pads to 128 lanes, second minor to 8
+        # sublanes; small channel counts cost far more VMEM than their
+        # logical size.
         lanes = -(-shape[-1] // 128) * 128
         subl = -(-shape[-2] // 8) * 8 if len(shape) >= 2 else 1
         lead = 1
@@ -162,8 +171,10 @@ def conv2d_a_factor_fused(
     if batch_tile is None:
         def vmem_cost(tile: int) -> int:
             xb = _padded_bytes((tile, hp, wp, c), x.dtype.itemsize)
-            slab = _padded_bytes((d0, tile * spatial), x.dtype.itemsize)
-            return 2 * xb + 2 * slab
+            slab = _padded_bytes(
+                (tile, out_h, out_w, d0), x.dtype.itemsize,
+            )
+            return 2 * xb + slab
 
         batch_tile = n
         while batch_tile > 1 and (
@@ -204,7 +215,7 @@ def conv2d_a_factor_fused(
             jax.ShapeDtypeStruct((8, d0), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((d0, batch_tile * spatial), x.dtype),
+            pltpu.VMEM((batch_tile, out_h, out_w, d0), x.dtype),
             pltpu.VMEM((d0, d0), jnp.float32),
             pltpu.VMEM((8, d0), jnp.float32),
         ],

@@ -120,5 +120,67 @@ def main() -> None:
     variant('full', None)
 
 
+
+
+def main_methods() -> None:
+    """In-graph A/B of the conv A-factor algorithms (full capture step)."""
+    import sys
+
+    sys.path.insert(0, '/root/repo')
+    import bench
+    from kfac_pytorch_tpu import KFACPreconditioner
+
+    model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    tx = optax.sgd(0.1, momentum=0.9)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def sgd_body(carry, _):
+        p, bn, o = carry
+        (loss, bn2), grads = grad_fn(p, bn, x, y)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), bn2, o), loss
+
+    carry0 = (params, batch_stats, tx.init(params))
+    t_sgd = timed_scan(sgd_body, carry0)
+    print(f'sgd     : {t_sgd * 1e3:7.3f} ms')
+
+    for method in ('patches', 'rowgram', 'pallas'):
+        specs = {
+            k: dataclasses.replace(
+                s,
+                helper=dataclasses.replace(s.helper, a_factor_method=method)
+                if hasattr(s.helper, 'a_factor_method') else s.helper,
+            )
+            for k, s in precond.specs.items()
+        }
+        p2 = KFACPreconditioner(
+            specs=specs,
+            factor_update_steps=10,
+            inv_update_steps=100,
+            damping=0.003,
+            lr=0.1,
+            precondition_precision='high',
+            factor_compute_dtype='bfloat16',
+        )
+        vag = p2.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, _):
+            p, bn, o = carry
+            (loss, bn2), grads, captured = vag(p, bn, x, y)
+            loss = loss + 0.0 * sum(
+                jnp.sum(c.a[0]) + jnp.sum(c.g[0])
+                for c in captured.values()
+            )
+            updates, o = tx.update(grads, o)
+            return (optax.apply_updates(p, updates), bn2, o), loss
+
+        t = timed_scan(body, carry0)
+        print(f'{method:8s}: {t * 1e3:7.3f} ms  (+{(t - t_sgd) * 1e3:.3f})')
+
+
 if __name__ == '__main__':
+    import sys as _sys
+    if '--methods' in _sys.argv:
+        main_methods()
+        raise SystemExit
     main()
