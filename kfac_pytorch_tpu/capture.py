@@ -168,12 +168,31 @@ def capture_value_and_grad(
     """
     wrapped = _tapped_loss_fn(loss_fn, specs, has_aux)
 
+    # Tap shapes depend only on the abstract signature of the inputs, so
+    # cache them by (treedef, leaf shapes/dtypes): repeated un-jitted calls
+    # skip the extra eval_shape trace of loss_fn (it is free under jit --
+    # one trace -- but doubles Python overhead per step when called eagerly).
+    shape_cache: dict[Any, dict[str, list[jax.ShapeDtypeStruct]]] = {}
+
+    def _abstract_sig(tree: Any) -> Any:
+        leaves, treedef = jax.tree.flatten(tree)
+        return treedef, tuple(
+            (getattr(x, 'shape', None), str(getattr(x, 'dtype', type(x))))
+            for x in leaves
+        )
+
     def fn(
         params: Any,
         *args: Any,
         **kwargs: Any,
     ) -> tuple[tuple[jax.Array, Any], Any, Captured]:
-        tap_shapes = _discover_tap_shapes(loss_fn, specs, params, args, kwargs)
+        key = _abstract_sig((params, args, kwargs))
+        tap_shapes = shape_cache.get(key)
+        if tap_shapes is None:
+            tap_shapes = _discover_tap_shapes(
+                loss_fn, specs, params, args, kwargs,
+            )
+            shape_cache[key] = tap_shapes
         missing = set(specs) - set(tap_shapes)
         if missing:
             raise ValueError(

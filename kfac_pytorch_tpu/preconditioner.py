@@ -28,7 +28,7 @@ Distribution model (KAISA semantics, SPMD expression):
 from __future__ import annotations
 
 import logging
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 from dataclasses import dataclass
 from typing import Any
 
@@ -167,7 +167,10 @@ class KFACPreconditioner:
         factor_decay: HyperParam = 0.95,
         kl_clip: HyperParam | None = 0.001,
         lr: HyperParam = 0.1,
-        # Distribution
+        # Distribution.  accumulation_steps is consumed by
+        # train.make_train_step (microbatches per optimizer update with
+        # capture accumulation); the raw vag/step API instead takes
+        # explicit accumulate_captures calls.
         accumulation_steps: int = 1,
         assignment_strategy: AssignmentStrategy | str = (
             AssignmentStrategy.COMPUTE
@@ -890,9 +893,19 @@ class KFACPreconditioner:
                     spec.helper.set_grad_t(sub, pg[i, :da, :dg]),
                 )
 
-        if root is not grads and isinstance(grads, dict) and 'params' in grads:
-            new_grads = dict(grads)
-            new_grads['params'] = root
+        if (
+            root is not grads
+            and isinstance(grads, Mapping)
+            and 'params' in grads
+        ):
+            # Rebuild with the original mapping type (matches params_root's
+            # Mapping check) so e.g. a FrozenDict input round-trips as a
+            # FrozenDict rather than silently changing pytree structure.
+            rebuilt = dict(grads)
+            rebuilt['params'] = root
+            new_grads = (
+                rebuilt if type(grads) is dict else type(grads)(rebuilt)
+            )
         else:
             new_grads = root
 

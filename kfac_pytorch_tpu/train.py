@@ -44,6 +44,13 @@ def make_train_step(
     the on-device equivalent of the reference's Python-side hook gate
     (``kfac/base_preconditioner.py:444-446`` of gpauloski/kfac-pytorch).
 
+    When ``precond.accumulation_steps > 1`` the step runs that many
+    microbatches per optimizer update (batch leaves must carry a leading
+    axis of that size): gradients are averaged, captured factors are
+    accumulated via ``accumulate_captures`` and folded into the running
+    average once -- the reference's ``no_sync`` accumulation loop
+    (``kfac/layers/base.py:338-405``) as a statically-unrolled graph.
+
     Args:
         precond: the preconditioner. ``factor_update_steps`` may be an
             int (schedulable via ``LambdaParamScheduler``) or a callable
@@ -59,9 +66,12 @@ def make_train_step(
     """
     import optax
 
+    from kfac_pytorch_tpu.capture import accumulate_captures
+
     vag = precond.value_and_grad(loss_fn, has_aux=has_aux)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
     always_capture = precond._static_one('factor_update_steps')
+    accum = precond.accumulation_steps
 
     def step(
         carry: KFACTrainCarry,
@@ -71,12 +81,51 @@ def make_train_step(
         args = ((carry.extra,) if has_aux else ()) + tuple(batch)
         decay = precond._hp(state, 'factor_decay')
 
+        def _accum_loop(do_capture: bool, factors: Any):
+            # Microbatch i = leaf[i] of each batch leaf; aux (e.g. BN
+            # stats) threads sequentially through the microbatches.
+            import jax.numpy as jnp
+
+            extra = carry.extra
+            loss_sum, grads_acc, caps = None, None, []
+            for i in range(accum):
+                mb = tuple(
+                    jax.tree.map(lambda leaf, i=i: leaf[i], b)
+                    for b in batch
+                )
+                margs = ((extra,) if has_aux else ()) + mb
+                if do_capture:
+                    (loss, aux), g, c = vag(carry.params, *margs)
+                    caps.append(c)
+                elif has_aux:
+                    (loss, aux), g = grad_fn(carry.params, *margs)
+                else:
+                    loss, g = grad_fn(carry.params, *margs)
+                    aux = None
+                if has_aux:
+                    extra = aux
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                grads_acc = (
+                    g if grads_acc is None
+                    else jax.tree.map(jnp.add, grads_acc, g)
+                )
+            grads = jax.tree.map(lambda x: x / accum, grads_acc)
+            if do_capture:
+                factors = precond._update_factors(
+                    factors, accumulate_captures(caps), decay,
+                )
+            return (loss_sum / accum, extra), grads, factors
+
         def cap_branch(factors: Any):
+            if accum > 1:
+                return _accum_loop(True, factors)
             (loss, aux), grads, captured = vag(carry.params, *args)
             new_factors = precond._update_factors(factors, captured, decay)
             return (loss, aux), grads, new_factors
 
         def fast_branch(factors: Any):
+            if accum > 1:
+                return _accum_loop(False, factors)
             if has_aux:
                 (loss, aux), grads = grad_fn(carry.params, *args)
             else:

@@ -200,3 +200,56 @@ def test_chunked_matches_gated_step() -> None:
         carry_g.params,
     )
     assert int(carry_c.kfac_state.steps) == 6
+
+
+def test_accumulation_steps_matches_full_batch() -> None:
+    """accumulation_steps=2 over batch halves == one full-batch step.
+
+    Per-microbatch covariances and grads are means over rows, so averaging
+    two half-batch microbatches reproduces the full-batch statistics
+    exactly (up to fp associativity). Mirrors the reference's no_sync
+    accumulation semantics (kfac/layers/base.py:338-405).
+    """
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10), 10,
+    )
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        return optax.softmax_cross_entropy(model.apply(p, bx), by).mean()
+
+    def build(accum):
+        precond = KFACPreconditioner(
+            model,
+            example_args=(x[:2],),
+            lr=0.1,
+            damping=0.003,
+            factor_update_steps=2,
+            inv_update_steps=2,
+            accumulation_steps=accum,
+        )
+        tx = optax.sgd(0.1)
+        step = jax.jit(make_train_step(precond, loss_fn, tx))
+        carry = KFACTrainCarry(
+            params=params,
+            opt_state=tx.init(params),
+            kfac_state=precond.init(),
+        )
+        return step, carry
+
+    step1, c1 = build(1)
+    step2, c2 = build(2)
+    for _ in range(4):
+        c1, l1 = step1(c1, (x, y))
+        # same samples split into 2 microbatches with a leading accum axis
+        c2, l2 = step2(
+            c2, (x.reshape(2, 8, 8), y.reshape(2, 8, 10)),
+        )
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6),
+        c1.params,
+        c2.params,
+    )
