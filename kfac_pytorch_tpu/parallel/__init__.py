@@ -7,3 +7,18 @@ from kfac_pytorch_tpu.parallel.strategy import KAISASharding as KAISASharding
 from kfac_pytorch_tpu.parallel.strategy import (
     resolve_grad_workers as resolve_grad_workers,
 )
+from kfac_pytorch_tpu.parallel.pipe_exec import (
+    init_pipeline_params as init_pipeline_params,
+)
+from kfac_pytorch_tpu.parallel.pipe_exec import (
+    make_pipeline_kfac_step as make_pipeline_kfac_step,
+)
+from kfac_pytorch_tpu.parallel.pipe_exec import (
+    pipeline_capture as pipeline_capture,
+)
+from kfac_pytorch_tpu.parallel.pipeline import (
+    PipelineAssignment as PipelineAssignment,
+)
+from kfac_pytorch_tpu.parallel.pipeline import (
+    PipelineTopology as PipelineTopology,
+)
