@@ -167,6 +167,7 @@ def pipeline_capture(
     y: jax.Array,
     n_microbatches: int,
     factor_reduce_axes: tuple[str, ...] = ('data',),
+    symmetric_comm: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array], jax.Array, jax.Array]:
     """Pipelined forward/backward with stage-local factor capture.
 
@@ -176,6 +177,11 @@ def pipeline_capture(
         x: ``[B, d]`` global batch (sharded over ``data``).
         y: ``[B]`` int labels.
         n_microbatches: GPipe microbatch count per data shard.
+        symmetric_comm: pack factors as upper triangles for the
+            data-parallel all-reduce (``reduce_factors(symmetric=True)``)
+            -- half the bytes on the wire, for meshes whose ``data`` axis
+            crosses hosts/DCN. The reference's ``symmetry_aware`` path
+            (``kfac/distributed.py:422-465``).
 
     Returns:
         ``(loss, grads, a_factors, g_factors)`` -- grads shaped like
@@ -193,6 +199,24 @@ def pipeline_capture(
         raise ValueError('batch must divide n_data * n_microbatches')
     mb = batch_global // (n_data * n_micro)
     n_ticks = n_micro + n_stages - 1
+
+    def _factor_allreduce(v: jax.Array) -> jax.Array:
+        """Mean over the stage's DP group, optionally triu-packed.
+
+        Factor sums are bitwise-symmetric (commutative dot products), so
+        the triu pack/unpack round-trip is lossless.
+        """
+        from kfac_pytorch_tpu.parallel.collectives import reduce_factors
+
+        if symmetric_comm:
+            out = v
+            for ax in factor_reduce_axes:
+                out = reduce_factors(out, ax, symmetric=True)
+            return out
+        n = 1
+        for ax in factor_reduce_axes:
+            n = n * jax.lax.psum(1, ax)
+        return jax.lax.psum(v, factor_reduce_axes) / n
 
     def body(
         w: jax.Array,  # [1, L, d, d] local stage slice
@@ -240,9 +264,7 @@ def pipeline_capture(
         loss = jax.lax.psum(loss_acc, ('pipe', 'data')) / (
             n_micro * n_data
         )
-        a_fac = jax.lax.psum(a_acc, factor_reduce_axes) / (
-            n_micro * mb * n_data
-        )
+        a_fac = _factor_allreduce(a_acc) / (n_micro * mb)
         a_fac = (a_fac + jnp.swapaxes(a_fac, -1, -2)) / 2.0
         return loss, a_fac[None]
 
@@ -278,9 +300,7 @@ def pipeline_capture(
     def g_reduce(gt: jax.Array) -> jax.Array:
         gt = gt[0, 0]  # [T, L, mb, d] local
         g_sum = jnp.einsum('tlmi,tlmj->lij', gt, gt)
-        g_fac = jax.lax.psum(g_sum, factor_reduce_axes) / (
-            n_micro * gt.shape[-2] * n_data
-        )
+        g_fac = _factor_allreduce(g_sum) / (n_micro * gt.shape[-2])
         g_fac = (g_fac + jnp.swapaxes(g_fac, -1, -2)) / 2.0
         return g_fac[None]
 
@@ -301,6 +321,7 @@ def make_pipeline_kfac_step(
     damping: float = 0.003,
     factor_decay: float = 0.95,
     lr: float = 0.1,
+    symmetric_comm: bool = False,
 ) -> tuple[Any, Any]:
     """Build ``(init_state, step)`` for pipelined K-FAC training.
 
@@ -344,6 +365,7 @@ def make_pipeline_kfac_step(
     ) -> tuple[PipeKFACState, dict[str, jax.Array], jax.Array]:
         loss, grads, a_blocks, g_blocks = pipeline_capture(
             mesh, params, x, y, n_microbatches, factor_axes,
+            symmetric_comm=symmetric_comm,
         )
         con = jax.lax.with_sharding_constraint
         a = con(

@@ -190,3 +190,32 @@ def test_microbatch_count_invariance(micro: int) -> None:
         base,
         alt,
     )
+
+
+def test_symmetric_comm_matches_dense_reduce() -> None:
+    """Triu-packed factor all-reduce == dense psum (lossless round trip).
+
+    Wires collectives.reduce_factors(symmetric=True) into the pipeline's
+    data-parallel factor reduce -- the reference's symmetry_aware wire
+    format (kfac/distributed.py:422-465) on a real multi-device path.
+    """
+    mesh = _mesh()
+    params = init_pipeline_params(
+        jax.random.PRNGKey(3), STAGES, LAYERS, WIDTH,
+    )
+    x, y = _data()
+    dense = jax.jit(
+        lambda p, bx, by: pipeline_capture(mesh, p, bx, by, MICRO),
+    )(params, x, y)
+    packed = jax.jit(
+        lambda p, bx, by: pipeline_capture(
+            mesh, p, bx, by, MICRO, symmetric_comm=True,
+        ),
+    )(params, x, y)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9,
+        ),
+        dense,
+        packed,
+    )
