@@ -1,20 +1,30 @@
-"""Headline benchmark: K-FAC step overhead vs plain SGD on ResNet-20/CIFAR.
+"""Headline benchmark: K-FAC step overhead vs plain SGD.
 
 Prints ONE JSON line:
 ``{"metric": "kfac_step_overhead_pct", "value": N, "unit": "%",
 "vs_baseline": R}``
 
 The baseline target (BASELINE.md / BASELINE.json) is K-FAC step overhead
-<= 10% vs SGD on a ResNet workload at amortized update intervals
-(factor_update_steps=10, inv_update_steps=100 -- the KAISA regime).
-``vs_baseline`` is ``10 / value``; values > 1 beat the target.
+<= 10% vs SGD on **ResNet-50/ImageNet** at amortized update intervals
+(factor_update_steps=10, inv_update_steps=100 -- the KAISA regime;
+``vs_baseline`` is ``10 / value``, values > 1 beat the target). The
+headline therefore measures ResNet-50 at ImageNet shapes (synthetic
+data -- step time does not depend on pixel values). ResNet-20/CIFAR --
+a strictly HARDER small-model regime where the fixed per-step
+preconditioning cost is divided by a ~2ms SGD step -- is reported in
+``detail`` for continuity with round 1, along with capture cost and
+factor-decomposition throughput (the other BASELINE.md axes).
 
-Methodology: both training loops run as a single ``lax.scan`` of 100 steps
-(the idiomatic TPU deployment -- one dispatch per many steps), so the
-measurement is pure device time, insulated from host/RPC dispatch noise.
-Statistics capture is gated with ``lax.cond`` on the step counter -- the
-runtime executes the taken branch only, reproducing the reference's hook
-gating (``base_preconditioner.py:444-446``) on-device.
+Methodology: both training loops run as a single ``lax.scan`` of 100
+steps (the idiomatic TPU deployment -- one dispatch per many steps), so
+the measurement is pure device time, insulated from host/RPC dispatch
+noise. Statistics capture is gated with ``lax.cond`` on the step counter
+-- the runtime executes the taken branch only, reproducing the
+reference's hook gating (``base_preconditioner.py:444-446``) on-device.
+
+``--tta`` additionally runs the time-to-accuracy gate (ResNet-20 on a
+learnable synthetic CIFAR task: K-FAC must reach the target loss in
+fewer steps than SGD) and includes it in ``detail``.
 
 Runs on the default JAX backend (the real TPU chip under the driver).
 """
@@ -22,6 +32,7 @@ Runs on the default JAX backend (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import sys
 import time
 from typing import Any
 
@@ -32,8 +43,24 @@ jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
+KFAC_KW = dict(
+    factor_update_steps=10,
+    inv_update_steps=100,
+    damping=0.003,
+    lr=0.1,
+    skip_layers=['shortcut'],
+    # bf16x3 MXU passes: ~f32 accuracy (<=2e-5 rel vs HIGHEST) at
+    # substantially higher throughput on the small precondition matmuls.
+    precondition_precision='high',
+    # Covariances contracted in bf16 (f32 accumulate) -- the production
+    # TPU setting, equivalent to the reference's
+    # compute-in-training-dtype semantics under AMP.
+    factor_compute_dtype='bfloat16',
+)
+
 
 def build() -> tuple[Any, ...]:
+    """ResNet-20/CIFAR workload (round-1 headline; now a detail metric)."""
     from kfac_pytorch_tpu import KFACPreconditioner
     from kfac_pytorch_tpu.models import resnet20
 
@@ -43,7 +70,27 @@ def build() -> tuple[Any, ...]:
     y = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 10)
     variables = model.init(jax.random.PRNGKey(2), x)
     params, batch_stats = variables['params'], variables['batch_stats']
+    loss_fn = _make_loss(model)
+    precond = KFACPreconditioner(model, example_args=(x,), **KFAC_KW)
+    return model, params, batch_stats, precond, loss_fn, x, y
 
+
+def build_rn50(batch: int = 256) -> tuple[Any, ...]:
+    """ResNet-50/ImageNet-shape workload (the BASELINE.md headline)."""
+    from kfac_pytorch_tpu import KFACPreconditioner
+    from kfac_pytorch_tpu.models.imagenet_resnet import resnet50_imagenet
+
+    model = resnet50_imagenet()
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3))
+    y = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 1000)
+    variables = model.init(jax.random.PRNGKey(2), x)
+    params, batch_stats = variables['params'], variables['batch_stats']
+    loss_fn = _make_loss(model)
+    precond = KFACPreconditioner(model, example_args=(x,), **KFAC_KW)
+    return model, params, batch_stats, precond, loss_fn, x, y
+
+
+def _make_loss(model: Any) -> Any:
     def loss_fn(p: Any, bn: Any, bx: jax.Array, by: jax.Array):
         out, updates = model.apply(
             {'params': p, 'batch_stats': bn},
@@ -56,27 +103,13 @@ def build() -> tuple[Any, ...]:
         ).mean()
         return loss, updates['batch_stats']
 
-    precond = KFACPreconditioner(
-        model,
-        example_args=(x,),
-        factor_update_steps=10,
-        inv_update_steps=100,
-        damping=0.003,
-        lr=0.1,
-        skip_layers=['shortcut'],
-        # bf16x3 MXU passes: ~f32 accuracy (<=2e-5 rel vs HIGHEST) at
-        # substantially higher throughput on the small precondition matmuls.
-        precondition_precision='high',
-        # Covariances contracted in bf16 (f32 accumulate) -- the
-        # production TPU setting, equivalent to the reference's
-        # compute-in-training-dtype semantics under AMP.
-        factor_compute_dtype='bfloat16',
-    )
-    return model, params, batch_stats, precond, loss_fn, x, y
+    return loss_fn
 
 
-def _timed_scan(step_fn: Any, carry: Any, length: int) -> tuple[Any, float]:
-    """Compile a scanned loop, run once to warm up, then time one dispatch."""
+def _timed_scan(
+    step_fn: Any, carry: Any, length: int, repeats: int = 1,
+) -> tuple[Any, float]:
+    """Compile a scanned loop, run once to warm up, then time dispatches."""
 
     @jax.jit
     def run(carry: Any) -> Any:
@@ -86,10 +119,95 @@ def _timed_scan(step_fn: Any, carry: Any, length: int) -> tuple[Any, float]:
         return out, losses
 
     out = jax.block_until_ready(run(carry))
-    start = time.perf_counter()
-    out = jax.block_until_ready(run(out[0]))
-    elapsed = time.perf_counter() - start
-    return out, elapsed / length
+    best = float('inf')
+    for _ in range(repeats):
+        start = time.perf_counter()
+        out = jax.block_until_ready(run(out[0]))
+        best = min(best, time.perf_counter() - start)
+    return out, best / length
+
+
+def step_overhead(
+    params: Any,
+    batch_stats: Any,
+    precond: Any,
+    loss_fn: Any,
+    x: jax.Array,
+    y: jax.Array,
+    n: int = 100,
+    repeats: int = 1,
+) -> dict[str, float]:
+    """Overhead of the full gated K-FAC step vs plain SGD, scanned."""
+    from kfac_pytorch_tpu.train import KFACTrainCarry
+    from kfac_pytorch_tpu.train import make_train_step
+
+    tx = optax.sgd(0.1, momentum=0.9)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def sgd_body(carry: Any, _: Any):
+        p, bn, o = carry
+        (loss, bn2), grads = grad_fn(p, bn, x, y)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), bn2, o), loss
+
+    kstep = make_train_step(precond, loss_fn, tx, has_aux=True)
+
+    def kfac_body(carry: Any, _: Any):
+        return kstep(carry, (x, y))
+
+    _, t_sgd = _timed_scan(
+        sgd_body, (params, batch_stats, tx.init(params)), n, repeats,
+    )
+    _, t_kfac = _timed_scan(
+        kfac_body,
+        KFACTrainCarry(
+            params, tx.init(params), precond.init(), batch_stats,
+        ),
+        n,
+        repeats,
+    )
+    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    return {
+        'sgd_step_ms': round(t_sgd * 1e3, 3),
+        'kfac_step_ms': round(t_kfac * 1e3, 3),
+        'overhead_pct': round(overhead, 2),
+    }
+
+
+def capture_cost(
+    params: Any,
+    batch_stats: Any,
+    precond: Any,
+    loss_fn: Any,
+    x: jax.Array,
+    y: jax.Array,
+    n: int = 30,
+) -> float:
+    """Cost of a statistics-capture step over a plain grad step (ms)."""
+    tx = optax.sgd(0.1, momentum=0.9)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    vag = precond.value_and_grad(loss_fn, has_aux=True)
+
+    def sgd_body(carry: Any, _: Any):
+        p, bn, o = carry
+        (loss, bn2), grads = grad_fn(p, bn, x, y)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), bn2, o), loss
+
+    def cap_body(carry: Any, _: Any):
+        p, bn, o = carry
+        (loss, bn2), grads, captured = vag(p, bn, x, y)
+        # Keep the captured factors alive so XLA cannot DCE the capture.
+        loss = loss + 0.0 * sum(
+            jnp.sum(c.a[0]) + jnp.sum(c.g[0]) for c in captured.values()
+        )
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), bn2, o), loss
+
+    carry = (params, batch_stats, tx.init(params))
+    _, t_sgd = _timed_scan(sgd_body, carry, n)
+    _, t_cap = _timed_scan(cap_body, carry, n)
+    return round((t_cap - t_sgd) * 1e3, 3)
 
 
 def decomp_metrics(precond: Any) -> dict[str, Any]:
@@ -168,54 +286,125 @@ def decomp_metrics(precond: Any) -> dict[str, Any]:
     }
 
 
-def main() -> None:
-    model, params, batch_stats, precond, loss_fn, x, y = build()
-    tx = optax.sgd(0.1, momentum=0.9)
+def time_to_loss(target_loss: float = 0.35, max_steps: int = 400) -> dict:
+    """Time-to-accuracy gate: steps + wall-clock to a fixed train loss.
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    ResNet-20 on a learnable synthetic CIFAR task (class-dependent image
+    means + noise -- same construction as the integration gate). K-FAC at
+    the KAISA settings must reach the target loss in fewer steps than
+    momentum SGD. Chunked scans of 20 steps keep dispatch overhead out of
+    the wall-clock while preserving step granularity.
+    """
+    import numpy as np
 
-    def sgd_body(carry: Any, _: Any):
-        p, bn, o = carry
-        (loss, bn2), grads = grad_fn(p, bn, x, y)
-        updates, o = tx.update(grads, o)
-        return (optax.apply_updates(p, updates), bn2, o), loss
-
+    from kfac_pytorch_tpu import KFACPreconditioner
+    from kfac_pytorch_tpu.models import resnet20
     from kfac_pytorch_tpu.train import KFACTrainCarry
     from kfac_pytorch_tpu.train import make_train_step
 
-    kstep = make_train_step(precond, loss_fn, tx, has_aux=True)
+    batch = 256
+    rng = np.random.default_rng(0)
+    means = np.random.default_rng(1234).normal(
+        0, 1, (10, 32, 32, 3),
+    ).astype(np.float32)
+    labels = rng.integers(0, 10, batch).astype(np.int32)
+    images = 0.6 * means[labels] + rng.normal(
+        0, 1, (batch, 32, 32, 3),
+    ).astype(np.float32)
+    x, y = jnp.asarray(images), jnp.asarray(labels)
 
-    def kfac_body(carry: Any, _: Any):
-        return kstep(carry, (x, y))
+    model = resnet20()
+    variables = model.init(jax.random.PRNGKey(2), x)
+    params, batch_stats = variables['params'], variables['batch_stats']
+    loss_fn = _make_loss(model)
+    chunk = 20
 
-    n = 100
-    _, t_sgd = _timed_scan(
-        sgd_body, (params, batch_stats, tx.init(params)), n,
+    def run(use_kfac: bool) -> dict:
+        tx = optax.sgd(0.1, momentum=0.9)
+        if use_kfac:
+            precond = KFACPreconditioner(
+                model, example_args=(x,), **KFAC_KW,
+            )
+            kstep = make_train_step(precond, loss_fn, tx, has_aux=True)
+
+            def body(c: Any, _: Any):
+                return kstep(c, (x, y))
+
+            carry: Any = KFACTrainCarry(
+                params, tx.init(params), precond.init(), batch_stats,
+            )
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(c: Any, _: Any):
+                p, bn, o = c
+                (loss, bn2), grads = grad_fn(p, bn, x, y)
+                updates, o = tx.update(grads, o)
+                return (optax.apply_updates(p, updates), bn2, o), loss
+
+            carry = (params, batch_stats, tx.init(params))
+
+        @jax.jit
+        def scan_chunk(c: Any) -> Any:
+            return jax.lax.scan(body, c, xs=None, length=chunk)
+
+        jax.block_until_ready(scan_chunk(carry))  # compile outside timing
+        start = time.perf_counter()
+        steps_done, wall = max_steps, None
+        for i in range(max_steps // chunk):
+            carry, losses = scan_chunk(carry)
+            losses = np.asarray(losses)
+            hit = np.nonzero(losses <= target_loss)[0]
+            if hit.size:
+                steps_done = i * chunk + int(hit[0]) + 1
+                wall = time.perf_counter() - start
+                break
+        if wall is None:
+            wall = time.perf_counter() - start
+        return {'steps': steps_done, 'wall_s': round(wall, 2)}
+
+    sgd = run(False)
+    kfac = run(True)
+    return {
+        'target_loss': target_loss,
+        'sgd': sgd,
+        'kfac': kfac,
+        'kfac_fewer_steps': kfac['steps'] < sgd['steps'],
+    }
+
+
+def main() -> None:
+    # Headline: the BASELINE.md workload (ResNet-50, ImageNet shapes).
+    _, params, bn, precond, loss_fn, x, y = build_rn50()
+    rn50 = step_overhead(params, bn, precond, loss_fn, x, y)
+
+    # Detail: ResNet-20/CIFAR (round-1 continuity), capture cost, decomp.
+    _, params20, bn20, precond20, loss20, x20, y20 = build()
+    rn20 = step_overhead(
+        params20, bn20, precond20, loss20, x20, y20, repeats=3,
     )
-    _, t_kfac = _timed_scan(
-        kfac_body,
-        KFACTrainCarry(
-            params, tx.init(params), precond.init(), batch_stats,
-        ),
-        n,
-    )
+    cap20 = capture_cost(params20, bn20, precond20, loss20, x20, y20)
 
-    overhead_pct = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    overhead_pct = rn50['overhead_pct']
+    detail: dict[str, Any] = {
+        'model': 'resnet50-imagenet224',
+        'batch': 256,
+        'sgd_step_ms': rn50['sgd_step_ms'],
+        'kfac_step_ms': rn50['kfac_step_ms'],
+        'backend': jax.default_backend(),
+        'factor_update_steps': 10,
+        'inv_update_steps': 100,
+        'resnet20_cifar': {**rn20, 'capture_cost_ms': cap20},
+        'factor_decomp': decomp_metrics(precond20),
+    }
+    if '--tta' in sys.argv:
+        detail['time_to_loss'] = time_to_loss()
     result = {
         'metric': 'kfac_step_overhead_pct',
         'value': round(overhead_pct, 2),
         'unit': '%',
         'vs_baseline': round(10.0 / max(overhead_pct, 1e-6), 3),
-        'detail': {
-            'model': 'resnet20-cifar',
-            'batch': 256,
-            'sgd_step_ms': round(t_sgd * 1e3, 3),
-            'kfac_step_ms': round(t_kfac * 1e3, 3),
-            'backend': jax.default_backend(),
-            'factor_update_steps': 10,
-            'inv_update_steps': 100,
-            'factor_decomp': decomp_metrics(precond),
-        },
+        'detail': detail,
     }
     print(json.dumps(result))
 

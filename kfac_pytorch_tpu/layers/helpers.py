@@ -228,6 +228,22 @@ class Conv2dHelper(LayerHelper):
                 self.padding,
                 has_bias=self.has_bias,
             )
+        if self.kernel_size == (1, 1):
+            # 1x1 convs need no patch extraction: the "patch matrix" IS
+            # the (strided) activation, and the (c, kh, kw) permutation
+            # is the identity. A strided slice fuses into the Gram
+            # contraction -- zero extra HBM traffic (ResNet-50 is
+            # majority 1x1 convs). For k=1, SAME and VALID padding both
+            # select positions 0, s, 2s, ...
+            sh, sw = self.strides
+            a_s = a[:, ::sh, ::sw, :]
+            spatial_size = a_s.shape[1] * a_s.shape[2]
+            p = a_s.reshape(-1, a_s.shape[-1])
+            if self.has_bias:
+                p = append_bias_ones(p)
+            return get_cov(
+                p, scale=float(p.shape[0]) * spatial_size**2,
+            )
         # XLA's native patches op lowers ~2x faster on TPU than a
         # slice-stack im2col; its feature order is (c, kh, kw), fixed up
         # afterwards by permuting the SMALL (d, d) covariance instead of

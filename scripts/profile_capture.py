@@ -27,7 +27,12 @@ import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 
-def timed_scan(step_fn: Any, carry: Any, length: int = 100) -> float:
+import os
+SCAN_LEN = int(os.environ.get('PROFILE_SCAN_LEN', '100'))
+
+
+def timed_scan(step_fn: Any, carry: Any, length: int | None = None) -> float:
+    length = SCAN_LEN if length is None else length
     @jax.jit
     def run(c: Any) -> Any:
         return jax.lax.scan(step_fn, c, xs=None, length=length)
@@ -70,7 +75,12 @@ def main() -> None:
     import bench
     from kfac_pytorch_tpu import KFACPreconditioner
 
-    model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    if '--rn50' in sys.argv:
+        model, params, batch_stats, precond, loss_fn, x, y = (
+            bench.build_rn50(batch=64)
+        )
+    else:
+        model, params, batch_stats, precond, loss_fn, x, y = bench.build()
     tx = optax.sgd(0.1, momentum=0.9)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

@@ -132,3 +132,29 @@ def test_conv_g_factor_matches_reference_semantics() -> None:
         flat.T @ flat / flat.shape[0],
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize('strides', [(1, 1), (2, 2)])
+@pytest.mark.parametrize('padding', ['SAME', 'VALID'])
+def test_conv_1x1_a_factor_matches_generic_patches(strides, padding) -> None:
+    """The 1x1 fast path (strided slice, no patch op) == generic path."""
+    h = Conv2dHelper(
+        in_features=6,
+        out_features=3,
+        has_bias=True,
+        kernel_size=(1, 1),
+        strides=strides,
+        padding=padding,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 5, 6))
+    fast = np.asarray(h.get_a_factor(x))
+
+    p4 = jax.lax.conv_general_dilated_patches(
+        x, (1, 1), strides, padding,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+    )
+    spatial = p4.shape[1] * p4.shape[2]
+    p = np.asarray(p4).reshape(-1, 6)
+    p = np.concatenate([p, np.ones((p.shape[0], 1), p.dtype)], axis=1)
+    ref = p.T @ p / (p.shape[0] * spatial**2)
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-7)
