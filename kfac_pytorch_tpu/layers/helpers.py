@@ -172,11 +172,13 @@ class Conv2dHelper(LayerHelper):
     strides: tuple[int, int] = (1, 1)
     padding: Any = 'SAME'
     # A-factor algorithm: 'patches' (XLA conv_general_dilated_patches +
-    # Gram), 'rowgram' (patch-free row-pair Grams + band extraction, see
-    # ops/covariance.py:conv2d_a_factor_rowgram), or 'pallas' (fused
+    # Gram), 'convgrad' (kh*kw conv weight-gradients, no patch slab --
+    # wins at large spatial shapes, see
+    # ops/covariance.py:conv2d_a_factor_convgrad), 'rowgram' (patch-free
+    # row-pair Grams + band extraction), or 'pallas' (fused
     # VMEM-streaming kernel, stride-1 TPU only; falls back to 'patches'
     # where unsupported). use_pallas=True is legacy shorthand for
-    # 'pallas'.
+    # 'pallas'. 1x1 kernels always use the strided-slice fast path.
     a_factor_method: str = 'patches'
     use_pallas: bool = False
 
@@ -222,6 +224,18 @@ class Conv2dHelper(LayerHelper):
             )
 
             return conv2d_a_factor_rowgram(
+                a,
+                self.kernel_size,
+                self.strides,
+                self.padding,
+                has_bias=self.has_bias,
+            )
+        if method == 'convgrad' and self.kernel_size != (1, 1):
+            from kfac_pytorch_tpu.ops.covariance import (
+                conv2d_a_factor_convgrad,
+            )
+
+            return conv2d_a_factor_convgrad(
                 a,
                 self.kernel_size,
                 self.strides,

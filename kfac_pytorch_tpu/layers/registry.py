@@ -84,6 +84,7 @@ def get_module_helper(
     input_shape: tuple[int, ...],
     factor_dtype: Any = None,
     compute_dtype: Any = None,
+    conv_a_factor_method: str = 'patches',
 ) -> tuple[str, LayerHelper] | None:
     """Build a helper for a supported flax module, else None.
 
@@ -120,6 +121,7 @@ def get_module_helper(
                 kernel_size=kernel_size,  # type: ignore[arg-type]
                 strides=strides,
                 padding=module.padding,
+                a_factor_method=conv_a_factor_method,
             ),
         )
     return None
@@ -131,6 +133,7 @@ def register_modules(
     skip_layers: Sequence[str] = (),
     factor_dtype: Any = None,
     factor_compute_dtype: Any = None,
+    conv_a_factor_method: str = 'patches',
     init_fn: Callable[..., Any] | None = None,
     **example_kwargs: Any,
 ) -> dict[str, LayerSpec]:
@@ -144,6 +147,9 @@ def register_modules(
             module class name; a match skips registration (mirrors reference
             ``register_modules``, ``kfac/layers/register.py:57-95``).
         factor_dtype: optional dtype override for stored factors.
+        conv_a_factor_method: A-factor algorithm for conv layers
+            ('patches' | 'convgrad' | 'rowgram' | 'pallas'); see
+            ``Conv2dHelper.a_factor_method``.
         init_fn: optional replacement for ``model.init`` -- a callable
             invoked (abstractly) to run one forward pass. Use when ``init``
             needs rngs/mutable collections beyond the default.
@@ -171,6 +177,7 @@ def register_modules(
             tuple(x.shape),
             factor_dtype,
             factor_compute_dtype,
+            conv_a_factor_method=conv_a_factor_method,
         )
         if helper_info is not None:
             module_type, helper = helper_info

@@ -215,6 +215,127 @@ def extract_conv2d_patches(
     return patches.reshape(n, out_h, out_w, kh * kw * c)
 
 
+def _pad_for_conv(
+    x: jax.Array,
+    kernel_size: tuple[int, int],
+    strides: tuple[int, int],
+    padding: str | int | Sequence[int] | Sequence[tuple[int, int]],
+) -> tuple[jax.Array, int, int]:
+    """Explicitly zero-pad NHWC ``x``; return (padded, out_h, out_w)."""
+    n, h, w, c = x.shape
+    kh, kw = kernel_size
+    sh, sw = strides
+    pad = _normalize_padding(padding)
+    if pad == 'SAME':
+        out_h, out_w = conv2d_out_shape((h, w), kernel_size, strides, 'SAME')
+        pad_h = max((out_h - 1) * sh + kh - h, 0)
+        pad_w = max((out_w - 1) * sw + kw - w, 0)
+        pad = (
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+        )
+    elif pad == 'VALID':
+        pad = ((0, 0), (0, 0))
+    (ph0, ph1), (pw0, pw1) = pad
+    if ph0 or ph1 or pw0 or pw1:
+        x = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    hp, wp = x.shape[1], x.shape[2]
+    out_h = (hp - kh) // sh + 1
+    out_w = (wp - kw) // sw + 1
+    return x, out_h, out_w
+
+
+def conv2d_a_factor_convgrad(
+    x: jax.Array,
+    kernel_size: tuple[int, int],
+    strides: tuple[int, int] = (1, 1),
+    padding: str | int | Sequence[int] | Sequence[tuple[int, int]] = 'SAME',
+    has_bias: bool = True,
+) -> jax.Array:
+    """Conv2d A factor as ``kh*kw`` conv weight-gradients -- no patch slab.
+
+    Each patch column ``(i1, j1, :)`` of the im2col matrix ``P`` is a
+    strided slice ``q1`` of the (padded) activation, and the block column
+    ``A[:, (i1, j1, :)] = P^T q1`` is *exactly* a convolution
+    weight-gradient ``dW = conv-grad(x, q1)`` -- the same contraction XLA
+    already runs at MXU speed for the layer's backward pass. Lowering it
+    as ``lax.conv_general_dilated`` with batch as the contracted feature
+    dimension (``dimension_numbers=('CHWN', 'IHWO', 'NHWC')``, kernel
+    dilation = the conv's stride) gives the factor without ever
+    materializing ``P``: the patch slab's ``kh*kw``-fold HBM traffic
+    (the capture-step bottleneck at ImageNet shapes, docs/PERF_NOTES.md)
+    is replaced by ``kh*kw`` re-reads of the activation itself.
+
+    Exact for any stride/padding; same semantics as the patches path of
+    ``Conv2dHelper.get_a_factor`` (reference
+    ``kfac/layers/modules.py:170-237`` of gpauloski/kfac-pytorch):
+    ``cov = P^T P / (rows * spatial^2)``, symmetrized, feature order
+    ``(kh, kw, c)``, homogeneous bias row/col appended.
+    """
+    if x.ndim != 4:
+        raise ValueError(f'Expected NHWC input, got shape {x.shape}')
+    n, _, _, c = x.shape
+    kh, kw = kernel_size
+    sh, sw = strides
+    xp, out_h, out_w = _pad_for_conv(x, kernel_size, strides, padding)
+    hp, wp = xp.shape[1], xp.shape[2]
+
+    spatial = out_h * out_w
+    rows_total = n * spatial
+    inv_scale = 1.0 / (rows_total * float(spatial) ** 2)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(x.dtype).itemsize >= 4
+        else jax.lax.Precision.DEFAULT
+    )
+
+    cols = []
+    for i1 in range(kh):
+        for j1 in range(kw):
+            q1 = jax.lax.slice(
+                xp,
+                (0, i1, j1, 0),
+                (n, i1 + (out_h - 1) * sh + 1, j1 + (out_w - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            # out[c2, i2, j2, c1] = sum_{n,y,x} xp[n, i2 + y*sh, j2 + x*sw,
+            # c2] * q1[n, y, x, c1] -- the conv weight-gradient with window
+            # (out_h, out_w) dilated by the stride.
+            blk = jax.lax.conv_general_dilated(
+                xp,
+                q1,
+                window_strides=(1, 1),
+                padding='VALID',
+                rhs_dilation=(sh, sw),
+                dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            # (c2, kh, kw, c1) -> ((i2, j2, c2), c1) block column.
+            assert blk.shape == (c, kh, kw, c), blk.shape
+            cols.append(blk.transpose(1, 2, 0, 3).reshape(kh * kw * c, c))
+    cov0 = jnp.concatenate(cols, axis=1) * inv_scale
+    cov0 = (cov0 + cov0.T) / 2.0
+
+    if not has_bias:
+        return cov0
+    sums = []
+    for i in range(kh):
+        for j in range(kw):
+            s = jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (n, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            sums.append(jnp.sum(s, axis=(0, 1, 2), dtype=jnp.float32))
+    cross = jnp.concatenate(sums) * inv_scale
+    corner = jnp.asarray(1.0 / float(spatial) ** 2, jnp.float32)
+    top = jnp.concatenate([cov0, cross[:, None]], axis=1)
+    bottom = jnp.concatenate([cross, corner[None]])[None, :]
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def conv2d_a_factor_rowgram(
     x: jax.Array,
     kernel_size: tuple[int, int],

@@ -194,6 +194,7 @@ class KFACPreconditioner:
             jax.lax.Precision.HIGHEST
         ),
         skip_layers: Sequence[str] = (),
+        conv_a_factor_method: str = 'patches',
         init_fn: Callable[..., Any] | None = None,
         loglevel: int = logging.DEBUG,
     ) -> None:
@@ -219,6 +220,14 @@ class KFACPreconditioner:
             raise ValueError('kl_clip must be > 0')
         if accumulation_steps <= 0:
             raise ValueError('accumulation_steps must be > 0')
+        if conv_a_factor_method not in (
+            'patches', 'convgrad', 'rowgram', 'pallas',
+        ):
+            raise ValueError(
+                "conv_a_factor_method must be one of 'patches', "
+                f"'convgrad', 'rowgram', 'pallas'; got "
+                f'{conv_a_factor_method!r}',
+            )
         if (
             compute_method == ComputeMethod.EIGEN
             and compute_eigenvalue_outer_product
@@ -238,6 +247,7 @@ class KFACPreconditioner:
                 skip_layers=skip_layers,
                 factor_dtype=factor_dtype,
                 factor_compute_dtype=factor_compute_dtype,
+                conv_a_factor_method=conv_a_factor_method,
                 init_fn=init_fn,
                 **(example_kwargs or {}),
             )

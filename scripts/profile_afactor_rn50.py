@@ -1,0 +1,88 @@
+"""Standalone A/B of conv A-factor algorithms on ResNet-50 conv shapes.
+
+Times each distinct (activation shape, kernel, stride) conv geometry in
+ResNet-50/ImageNet for the 'patches' and 'convgrad' A-factor paths, one
+scanned dispatch per measurement (bf16 inputs, f32 factor out).
+
+Run: python scripts/profile_afactor_rn50.py [batch]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Any
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+
+import jax.numpy as jnp  # noqa: E402
+
+from kfac_pytorch_tpu.layers.helpers import Conv2dHelper  # noqa: E402
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+
+# (h, w, c, kh, kw, stride, count) -- distinct RN50 conv geometries
+# (1x1 convs use the strided-slice fast path in every method; the 3x3s
+# and the 7x7 stem are where the patch slab hurts).
+GEOMS = [
+    (224, 224, 3, 7, 7, 2, 1),
+    (56, 56, 64, 3, 3, 1, 3),
+    (56, 56, 128, 3, 3, 2, 1),
+    (28, 28, 128, 3, 3, 1, 3),
+    (28, 28, 256, 3, 3, 2, 1),
+    (14, 14, 256, 3, 3, 1, 5),
+    (14, 14, 512, 3, 3, 2, 1),
+    (7, 7, 512, 3, 3, 1, 2),
+]
+
+
+def timed(fn: Any, x: jax.Array, n: int = 10) -> float:
+    @jax.jit
+    def run(x: jax.Array) -> jax.Array:
+        def body(s, _):
+            return s + 1e-6, fn(x * s)
+
+        _, out = jax.lax.scan(body, 1.0, xs=None, length=n)
+        return out
+
+    jax.block_until_ready(run(x))
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def main() -> None:
+    totals: dict[str, float] = {}
+    print(f'batch={BATCH}  backend={jax.default_backend()}')
+    for h, w, c, kh, kw, s, count in GEOMS:
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (BATCH, h, w, c), jnp.bfloat16,
+        )
+        line = f'({h:3d},{w:3d},{c:4d}) k{kh}x{kw} s{s} x{count}:'
+        for method in ('patches', 'convgrad'):
+            helper = Conv2dHelper(
+                in_features=kh * kw * c,
+                out_features=c,
+                has_bias=True,
+                kernel_size=(kh, kw),
+                strides=(s, s),
+                padding='SAME',
+                a_factor_method=method,
+                compute_dtype='bfloat16',
+            )
+            t = timed(helper.get_a_factor, x)
+            totals[method] = totals.get(method, 0.0) + t * count
+            line += f'  {method}={t * 1e3:7.3f}ms'
+        print(line)
+    print('totals (weighted by layer count):')
+    for k, v in totals.items():
+        print(f'  {k:9s}: {v * 1e3:8.3f} ms')
+
+
+if __name__ == '__main__':
+    main()
