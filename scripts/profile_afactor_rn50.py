@@ -56,33 +56,60 @@ def timed(fn: Any, x: jax.Array, n: int = 10) -> float:
     return best / n
 
 
+def run_one(h: int, w: int, c: int, kh: int, kw: int, s: int,
+            method: str) -> float:
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (BATCH, h, w, c), jnp.bfloat16,
+    )
+    helper = Conv2dHelper(
+        in_features=kh * kw * c,
+        out_features=c,
+        has_bias=True,
+        kernel_size=(kh, kw),
+        strides=(s, s),
+        padding='SAME',
+        a_factor_method=method,
+        compute_dtype='bfloat16',
+    )
+    return timed(helper.get_a_factor, x)
+
+
 def main() -> None:
+    """Each (geometry, method) runs in its own subprocess so one compile
+    blow-up or tunnel kill doesn't take down the sweep."""
+    import subprocess
+
     totals: dict[str, float] = {}
-    print(f'batch={BATCH}  backend={jax.default_backend()}')
+    incomplete: set[str] = set()
+    print(f'batch={BATCH}  backend={jax.default_backend()}', flush=True)
     for h, w, c, kh, kw, s, count in GEOMS:
-        x = jax.random.normal(
-            jax.random.PRNGKey(0), (BATCH, h, w, c), jnp.bfloat16,
-        )
         line = f'({h:3d},{w:3d},{c:4d}) k{kh}x{kw} s{s} x{count}:'
         for method in ('patches', 'convgrad'):
-            helper = Conv2dHelper(
-                in_features=kh * kw * c,
-                out_features=c,
-                has_bias=True,
-                kernel_size=(kh, kw),
-                strides=(s, s),
-                padding='SAME',
-                a_factor_method=method,
-                compute_dtype='bfloat16',
+            proc = subprocess.run(
+                [sys.executable, __file__, str(BATCH), '--one',
+                 str(h), str(w), str(c), str(kh), str(kw), str(s), method],
+                capture_output=True, text=True, timeout=900,
             )
-            t = timed(helper.get_a_factor, x)
+            out = [ln for ln in proc.stdout.splitlines()
+                   if ln.startswith('RESULT ')]
+            if proc.returncode != 0 or not out:
+                line += f'  {method}= FAILED(rc={proc.returncode})'
+                incomplete.add(method)
+                continue
+            t = float(out[-1].split()[1])
             totals[method] = totals.get(method, 0.0) + t * count
             line += f'  {method}={t * 1e3:7.3f}ms'
-        print(line)
+        print(line, flush=True)
     print('totals (weighted by layer count):')
     for k, v in totals.items():
-        print(f'  {k:9s}: {v * 1e3:8.3f} ms')
+        flag = '  [INCOMPLETE]' if k in incomplete else ''
+        print(f'  {k:9s}: {v * 1e3:8.3f} ms{flag}')
 
 
 if __name__ == '__main__':
-    main()
+    if '--one' in sys.argv:
+        i = sys.argv.index('--one')
+        h, w, c, kh, kw, s = (int(v) for v in sys.argv[i + 1:i + 7])
+        print('RESULT', run_one(h, w, c, kh, kw, s, sys.argv[i + 7]))
+    else:
+        main()

@@ -133,14 +133,26 @@ def main() -> None:
 
 
 def main_methods() -> None:
-    """In-graph A/B of the conv A-factor algorithms (full capture step)."""
+    """In-graph A/B of the conv A-factor algorithms (full capture step).
+
+    ``--rn50`` runs the headline ResNet-50 workload (batch via
+    ``PROFILE_BATCH``, default 64); methods via ``PROFILE_METHODS``
+    (comma-separated, default ``patches,convgrad``).
+    """
+    import os
     import sys
 
     sys.path.insert(0, '/root/repo')
     import bench
     from kfac_pytorch_tpu import KFACPreconditioner
 
-    model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    if '--rn50' in sys.argv:
+        model, params, batch_stats, precond, loss_fn, x, y = (
+            bench.build_rn50(int(os.environ.get('PROFILE_BATCH', '64')))
+        )
+    else:
+        model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    methods = os.environ.get('PROFILE_METHODS', 'patches,convgrad').split(',')
     tx = optax.sgd(0.1, momentum=0.9)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -154,7 +166,7 @@ def main_methods() -> None:
     t_sgd = timed_scan(sgd_body, carry0)
     print(f'sgd     : {t_sgd * 1e3:7.3f} ms')
 
-    for method in ('patches', 'rowgram', 'pallas'):
+    for method in methods:
         specs = {
             k: dataclasses.replace(
                 s,

@@ -71,6 +71,31 @@ def test_helper_convgrad_1x1_uses_fast_path() -> None:
         np.asarray(b), np.asarray(a), atol=1e-5 * scale,
     )
 
+def test_convgrad_matches_patches_bf16() -> None:
+    # Production setting: bf16 compute dtype (f32 accumulate). Both paths
+    # round the activation identically before contracting, so they agree
+    # to bf16 resolution.
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 10, 10, 6)), jnp.float32)
+    mk = lambda m: Conv2dHelper(  # noqa: E731
+        in_features=54,
+        out_features=8,
+        has_bias=True,
+        kernel_size=(3, 3),
+        strides=(2, 2),
+        padding='SAME',
+        a_factor_method=m,
+        compute_dtype='bfloat16',
+    )
+    a = mk('patches').get_a_factor(x)
+    b = mk('convgrad').get_a_factor(x)
+    assert a.dtype == b.dtype
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=2e-2 * scale,
+    )
+
+
 def test_preconditioner_conv_a_factor_method_knob() -> None:
     # conv_a_factor_method threads ctor -> register_modules -> helper.
     import flax.linen as nn
