@@ -22,7 +22,62 @@ __all__ = [
     'create_lr_schedule',
     'save_checkpoint',
     'load_checkpoint',
+    'Prefetcher',
 ]
+
+
+class Prefetcher:
+    """Background-thread batch pipeline.
+
+    The reference's input pipeline overlaps augmentation and H2D copy
+    with device compute via torch DataLoader's worker pool
+    (``examples/vision/datasets.py:19-153`` of gpauloski/kfac-pytorch).
+    The TPU-native equivalent: one host thread drains the (numpy) batch
+    iterator -- whose augmentation runs in the nogil C++ kernel
+    (``kfac_pytorch_tpu/utils/native``) -- applies ``put_fn``
+    (typically a sharded ``jax.device_put``), and keeps up to ``depth``
+    batches enqueued ahead of the async XLA dispatch stream.
+
+    Exceptions in the worker re-raise at the consuming ``__next__``.
+    """
+
+    _END = object()
+
+    def __init__(
+        self,
+        iterator: Any,
+        put_fn: Any = None,
+        depth: int = 2,
+    ) -> None:
+        import queue
+        import threading
+
+        self._q: Any = queue.Queue(maxsize=max(1, depth))
+        self._err: BaseException | None = None
+
+        def work() -> None:
+            try:
+                for item in iterator:
+                    self._q.put(put_fn(*item) if put_fn else item)
+            except BaseException as e:  # noqa: BLE001 -- re-raised in consumer
+                self._err = e
+            finally:
+                self._q.put(self._END)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> Prefetcher:
+        return self
+
+    def __next__(self) -> Any:
+        item = self._q.get()
+        if item is self._END:
+            self._thread.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
 
 
 def maybe_init_distributed() -> None:

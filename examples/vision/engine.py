@@ -20,6 +20,7 @@ import jax
 import optax
 
 from examples.utils import Metric
+from examples.utils import Prefetcher
 from kfac_pytorch_tpu.capture import accumulate_captures
 
 __all__ = ['TrainState', 'Trainer']
@@ -164,8 +165,11 @@ class Trainer:
         meter = Metric('train/loss')
         start = time.perf_counter()
         py_step = int(state.step)
-        for i, (x, y) in enumerate(dataset.epoch()):
-            x, y = self._put(x), self._put(y)
+        batches = Prefetcher(
+            dataset.epoch(),
+            put_fn=lambda x, y: (self._put(x), self._put(y)),
+        )
+        for i, (x, y) in enumerate(batches):
             use_capture = self.precond is not None and (
                 self.precond.should_update_factors(py_step)
             )
@@ -202,8 +206,12 @@ class Trainer:
         """
         meter = Metric('train/loss')
         micro: list[tuple[Any, Any]] = []
-        for x, y in dataset.epoch():
-            micro.append((self._put(x), self._put(y)))
+        batches = Prefetcher(
+            dataset.epoch(),
+            put_fn=lambda x, y: (self._put(x), self._put(y)),
+        )
+        for x, y in batches:
+            micro.append((x, y))
             if len(micro) < accumulation_steps:
                 continue
             grads_list, caps, losses = [], [], []
@@ -239,8 +247,12 @@ class Trainer:
     def evaluate(self, state: TrainState, dataset: Any) -> tuple[float, float]:
         loss_m = Metric('val/loss')
         acc_m = Metric('val/acc')
-        for x, y in dataset.epoch():
-            loss, acc = self._eval_step(state, self._put(x), self._put(y))
+        batches = Prefetcher(
+            dataset.epoch(),
+            put_fn=lambda x, y: (self._put(x), self._put(y)),
+        )
+        for x, y in batches:
+            loss, acc = self._eval_step(state, x, y)
             loss_m.update(loss, n=len(y))
             acc_m.update(acc, n=len(y))
         return loss_m.avg, acc_m.avg
