@@ -20,7 +20,28 @@ import jax
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['trace', 'get_trace', 'log_trace', 'clear_trace']
+__all__ = ['trace', 'get_trace', 'log_trace', 'clear_trace', 'hostsync']
+
+
+def hostsync(tree: Any) -> Any:
+    """Force completion of ``tree``'s pending computation, portably.
+
+    ``jax.block_until_ready`` is the documented sync point, but on
+    remote-tunnel TPU backends it has been observed to return before the
+    dispatched work finishes (making every wall-clock timing read ~0).
+    Fetching data to the host cannot complete early, so this transfers the
+    SMALLEST array leaf of ``tree`` (typically a scalar loss -- a few
+    bytes) and returns ``tree`` unchanged. Use around timed regions;
+    outputs of interest stay on device.
+    """
+    leaves = [
+        leaf for leaf in jax.tree_util.tree_leaves(tree)
+        if hasattr(leaf, 'dtype')
+    ]
+    if leaves:
+        jax.block_until_ready(leaves)
+        jax.device_get(min(leaves, key=lambda leaf: leaf.size))
+    return tree
 
 F = TypeVar('F', bound=Callable[..., Any])
 
@@ -42,7 +63,7 @@ def trace(sync: bool = False) -> Callable[[F], F]:
             start = time.perf_counter()
             out = func(*args, **kwargs)
             if sync:
-                out = jax.block_until_ready(out)
+                out = hostsync(out)
             elapsed = time.perf_counter() - start
             _func_traces.setdefault(name, []).append(elapsed)
             return out

@@ -34,6 +34,11 @@ SHAPES = [
 N_ITERS = 100
 
 
+def _hsync(tree):
+    from kfac_pytorch_tpu.tracing import hostsync
+    return hostsync(tree)
+
+
 def scan_time(factor_fn, x) -> float:
     """Device ms per call: 100 calls in one scanned dispatch."""
     scales = 1.0 + 0.001 * jnp.arange(N_ITERS, dtype=x.dtype)
@@ -49,11 +54,11 @@ def scan_time(factor_fn, x) -> float:
         )
         return acc
 
-    jax.block_until_ready(run(x))
+    _hsync(run(x))
     best = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        _hsync(run(x))
         best = min(best, time.perf_counter() - t0)
     return best / N_ITERS * 1e3
 

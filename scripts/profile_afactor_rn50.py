@@ -38,7 +38,26 @@ GEOMS = [
 ]
 
 
+def rpc_floor() -> float:
+    """Host-sync round-trip latency (hostsync forces a device->host
+    fetch because block_until_ready returns early on the tunnel
+    backend); subtracted from every timed dispatch."""
+    from kfac_pytorch_tpu.tracing import hostsync
+
+    tiny = jnp.zeros((4,), jnp.float32)
+    run = jax.jit(lambda v: v + 1.0)
+    hostsync(run(tiny))
+    best = float('inf')
+    for _ in range(5):
+        t0 = time.perf_counter()
+        hostsync(run(tiny))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def timed(fn: Any, x: jax.Array, n: int = 10) -> float:
+    from kfac_pytorch_tpu.tracing import hostsync
+
     @jax.jit
     def run(x: jax.Array) -> jax.Array:
         def body(s, _):
@@ -47,13 +66,14 @@ def timed(fn: Any, x: jax.Array, n: int = 10) -> float:
         _, out = jax.lax.scan(body, 1.0, xs=None, length=n)
         return out
 
-    jax.block_until_ready(run(x))
+    floor = rpc_floor()
+    hostsync(run(x))
     best = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        hostsync(run(x))
         best = min(best, time.perf_counter() - t0)
-    return best / n
+    return max(best - floor, 1e-9) / n
 
 
 def run_one(h: int, w: int, c: int, kh: int, kw: int, s: int,

@@ -31,17 +31,22 @@ import os
 SCAN_LEN = int(os.environ.get('PROFILE_SCAN_LEN', '100'))
 
 
+def _hsync(tree):
+    from kfac_pytorch_tpu.tracing import hostsync
+    return hostsync(tree)
+
+
 def timed_scan(step_fn: Any, carry: Any, length: int | None = None) -> float:
     length = SCAN_LEN if length is None else length
     @jax.jit
     def run(c: Any) -> Any:
         return jax.lax.scan(step_fn, c, xs=None, length=length)
 
-    out = jax.block_until_ready(run(carry))
+    out = _hsync(run(carry))
     best = float('inf')
     for _ in range(3):
         start = time.perf_counter()
-        out = jax.block_until_ready(run(out[0]))
+        out = _hsync(run(out[0]))
         best = min(best, time.perf_counter() - start)
     return best / length
 

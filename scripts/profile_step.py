@@ -21,16 +21,21 @@ import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 
+def _hsync(tree):
+    from kfac_pytorch_tpu.tracing import hostsync
+    return hostsync(tree)
+
+
 def timed_scan(step_fn: Any, carry: Any, length: int) -> float:
     @jax.jit
     def run(c: Any) -> Any:
         return jax.lax.scan(step_fn, c, xs=None, length=length)
 
-    out = jax.block_until_ready(run(carry))
+    out = _hsync(run(carry))
     best = float('inf')
     for _ in range(3):
         start = time.perf_counter()
-        out = jax.block_until_ready(run(out[0]))
+        out = _hsync(run(out[0]))
         best = min(best, time.perf_counter() - start)
     return best / length
 
@@ -125,10 +130,10 @@ def main() -> None:
     f = jax.jit(
         lambda s: precond._compute_second_order(s.buckets, s.factors, 0.003),
     )
-    jax.block_until_ready(f(state))
+    _hsync(f(state))
     start = time.perf_counter()
     for _ in range(5):
-        out = jax.block_until_ready(f(state))
+        out = _hsync(f(state))
     t_eig = (time.perf_counter() - start) / 5
     print(f'second_order (eigh): {t_eig*1e3:8.3f} ms per refresh')
 

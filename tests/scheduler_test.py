@@ -171,3 +171,21 @@ def test_trace_decorator() -> None:
     log_trace()
     clear_trace()
     assert get_trace() == {}
+
+
+def test_hostsync_returns_tree_and_forces_completion() -> None:
+    """hostsync must return the tree unchanged (same objects) and be a
+    no-op on non-array leaves; it is the portable sync point for all
+    wall-clock timing (block_until_ready returns early on the tunnel
+    TPU backend -- see tracing.hostsync docstring)."""
+    from kfac_pytorch_tpu.tracing import hostsync
+
+    big = jnp.ones((64, 64))
+    small = jnp.zeros((2,))
+    tree = {'a': big, 'b': small, 'meta': 'keep'}
+    out = hostsync(tree)
+    assert out is tree
+    assert out['meta'] == 'keep'
+    # Plain python values / empty trees are fine too.
+    assert hostsync(5) == 5
+    assert hostsync({}) == {}
