@@ -180,6 +180,7 @@ class KFACPreconditioner:
         compute_eigenvalue_outer_product: bool = True,
         eigensolver: str = 'auto',  # 'auto' | 'xla' | 'refine'
         refine_iterations: int = 3,
+        refine_precision: str = 'highest',  # 'highest' (f32) | 'high'
         grad_worker_fraction: DistributedStrategy | float = (
             DistributedStrategy.COMM_OPT
         ),
@@ -288,6 +289,16 @@ class KFACPreconditioner:
         if refine_iterations <= 0:
             raise ValueError('refine_iterations must be > 0')
         self.refine_iterations = refine_iterations
+        # Matmul precision of the refine refresh. 'high' (bf16x3) halves
+        # the refresh cost; on-chip A/B on realistic rank-deficient
+        # spectra leaves the preconditioner residual unchanged (see
+        # ops/refine.py docstring).
+        if refine_precision not in ('highest', 'high'):
+            raise ValueError(
+                "refine_precision must be 'highest' or 'high'; got "
+                f'{refine_precision!r}',
+            )
+        self.refine_precision = refine_precision
         self.grad_worker_fraction = grad_worker_fraction
         self.sharding = sharding
         self.accumulation_steps = accumulation_steps
@@ -702,9 +713,11 @@ class KFACPreconditioner:
                     # XLA's eigh is latency-bound.
                     qa, da = refine_eigh(
                         a_stacked, bs.qa, damping, self.refine_iterations,
+                        precision=self.refine_precision,
                     )
                     qg, dg = refine_eigh(
                         g_stacked, bs.qg, damping, self.refine_iterations,
+                        precision=self.refine_precision,
                     )
                     qa = qa.astype(self.inv_dtype)
                     da = da.astype(self.inv_dtype)

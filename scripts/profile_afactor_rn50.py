@@ -60,11 +60,19 @@ def timed(fn: Any, x: jax.Array, n: int = 10) -> float:
 
     @jax.jit
     def run(x: jax.Array) -> jax.Array:
-        def body(s, _):
-            return s + 1e-6, fn(x * s)
+        # Carry a SCALAR accumulator (sum keeps the factor alive without
+        # stacking [n, d, d] outputs -- a stacked output would be fetched
+        # by hostsync and the tunnel transfer would dwarf the compute).
+        def body(carry, _):
+            s, acc = carry
+            # Cast the scale to x's dtype: a traced f32 scalar would
+            # silently promote the bf16 activation (and the contraction
+            # under test) to f32.
+            xs = x * s.astype(x.dtype) if hasattr(s, 'astype') else x * s
+            return (s + 1e-6, acc + jnp.sum(fn(xs))), None
 
-        _, out = jax.lax.scan(body, 1.0, xs=None, length=n)
-        return out
+        (_, acc), _ = jax.lax.scan(body, (1.0, 0.0), xs=None, length=n)
+        return acc
 
     floor = rpc_floor()
     hostsync(run(x))
@@ -104,7 +112,12 @@ def main() -> None:
     print(f'batch={BATCH}  backend={jax.default_backend()}', flush=True)
     for h, w, c, kh, kw, s, count in GEOMS:
         line = f'({h:3d},{w:3d},{c:4d}) k{kh}x{kw} s{s} x{count}:'
-        for method in ('patches', 'convgrad'):
+        methods = ('patches', 'convgrad', 'rowgram')
+        if '--methods' in sys.argv:
+            methods = tuple(
+                sys.argv[sys.argv.index('--methods') + 1].split(','),
+            )
+        for method in methods:
             proc = subprocess.run(
                 [sys.executable, __file__, str(BATCH), '--one',
                  str(h), str(w), str(c), str(kh), str(kw), str(s), method],

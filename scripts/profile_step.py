@@ -26,6 +26,25 @@ def _hsync(tree):
     return hostsync(tree)
 
 
+_FLOOR: float | None = None
+
+
+def _floor() -> float:
+    """Per-dispatch host-sync RPC latency (see bench._rpc_floor)."""
+    global _FLOOR
+    if _FLOOR is None:
+        tiny = jnp.zeros((4,), jnp.float32)
+        run = jax.jit(lambda v: v + 1.0)
+        _hsync(run(tiny))
+        best = float('inf')
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _hsync(run(tiny))
+            best = min(best, time.perf_counter() - t0)
+        _FLOOR = best
+    return _FLOOR
+
+
 def timed_scan(step_fn: Any, carry: Any, length: int) -> float:
     @jax.jit
     def run(c: Any) -> Any:
@@ -37,19 +56,25 @@ def timed_scan(step_fn: Any, carry: Any, length: int) -> float:
         start = time.perf_counter()
         out = _hsync(run(out[0]))
         best = min(best, time.perf_counter() - start)
-    return best / length
+    return max(best - _floor(), 1e-9) / length
 
 
 def main() -> None:
+    import os
     import sys
 
     sys.path.insert(0, '/root/repo')
     import bench
 
-    model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    if '--rn50' in sys.argv:
+        model, params, batch_stats, precond, loss_fn, x, y = (
+            bench.build_rn50(int(os.environ.get('PROFILE_BATCH', '128')))
+        )
+    else:
+        model, params, batch_stats, precond, loss_fn, x, y = bench.build()
     tx = optax.sgd(0.1, momentum=0.9)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    n = 100
+    n = int(os.environ.get('PROFILE_STEPS', '100'))
 
     # 1. SGD baseline
     def sgd_body(carry, _):
@@ -108,6 +133,12 @@ def main() -> None:
     )
     print(f'kfac_full_step:      {t_kfac*1e3:8.3f} ms  (overhead {((t_kfac/t_sgd)-1)*100:.1f}%)')
 
+    if '--rn50' in sys.argv:
+        # The 10x-unrolled chunked variant is a multi-hour compile at
+        # ResNet-50 scale; skip straight to the refresh cost.
+        _second_order(precond)
+        return
+
     # 5. chunked variant
     from kfac_pytorch_tpu.train import make_chunked_train_step
 
@@ -126,6 +157,10 @@ def main() -> None:
     print(f'chunked_step:        {t_chunk*1e3:8.3f} ms  (overhead {((t_chunk/t_sgd)-1)*100:.1f}%)')
 
     # 6. eigh cost: one _compute_second_order call
+    _second_order(precond)
+
+
+def _second_order(precond: Any) -> None:
     state = precond.init()
     f = jax.jit(
         lambda s: precond._compute_second_order(s.buckets, s.factors, 0.003),
@@ -133,9 +168,9 @@ def main() -> None:
     _hsync(f(state))
     start = time.perf_counter()
     for _ in range(5):
-        out = _hsync(f(state))
-    t_eig = (time.perf_counter() - start) / 5
-    print(f'second_order (eigh): {t_eig*1e3:8.3f} ms per refresh')
+        _hsync(f(state))
+    t_eig = (time.perf_counter() - start) / 5 - _floor()
+    print(f'second_order refresh: {t_eig*1e3:8.3f} ms per refresh')
 
 
 def _clone_precond(p: Any, **over: Any) -> Any:
