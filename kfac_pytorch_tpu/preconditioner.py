@@ -195,7 +195,7 @@ class KFACPreconditioner:
             jax.lax.Precision.HIGHEST
         ),
         skip_layers: Sequence[str] = (),
-        conv_a_factor_method: str = 'patches',
+        conv_a_factor_method: str = 'auto',
         init_fn: Callable[..., Any] | None = None,
         loglevel: int = logging.DEBUG,
     ) -> None:
@@ -222,11 +222,11 @@ class KFACPreconditioner:
         if accumulation_steps <= 0:
             raise ValueError('accumulation_steps must be > 0')
         if conv_a_factor_method not in (
-            'patches', 'convgrad', 'rowgram', 'pallas',
+            'auto', 'patches', 'slices', 'convgrad', 'rowgram', 'pallas',
         ):
             raise ValueError(
-                "conv_a_factor_method must be one of 'patches', "
-                f"'convgrad', 'rowgram', 'pallas'; got "
+                "conv_a_factor_method must be one of 'auto', 'patches', "
+                f"'slices', 'convgrad', 'rowgram', 'pallas'; got "
                 f'{conv_a_factor_method!r}',
             )
         if (
