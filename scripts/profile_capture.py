@@ -82,7 +82,7 @@ def main() -> None:
 
     if '--rn50' in sys.argv:
         model, params, batch_stats, precond, loss_fn, x, y = (
-            bench.build_rn50(batch=64)
+            bench.build_rn50(int(os.environ.get('PROFILE_BATCH', '128')))
         )
     else:
         model, params, batch_stats, precond, loss_fn, x, y = bench.build()
