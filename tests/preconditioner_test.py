@@ -389,3 +389,47 @@ def test_eigensolver_validation() -> None:
         KFACPreconditioner(
             model, example_args=(x,), refine_iterations=0,
         )
+
+
+@pytest.mark.parametrize('solver', ['xla', 'refine'])
+def test_bf16_inverse_storage_close_to_f32(solver: str) -> None:
+    """inv_dtype=bfloat16 (the bench/production storage setting) must
+    keep the preconditioned update within bf16 tolerance of the f32
+    path and still train. The decomposition math stays f32 regardless
+    (reference kfac/layers/eigen.py:310-321 contract); inv_dtype is the
+    reference's own storage/application knob."""
+    model, params, precond32, loss_fn, x, y = _setup()
+    from kfac_pytorch_tpu import KFACPreconditioner as KP
+
+    precond16 = KP(
+        specs=precond32.specs,
+        factor_update_steps=1,
+        inv_update_steps=1,
+        damping=0.003,
+        lr=0.1,
+        inv_dtype=jnp.bfloat16,
+        eigensolver=solver,
+    )
+    ref = KP(
+        specs=precond32.specs,
+        factor_update_steps=1,
+        inv_update_steps=1,
+        damping=0.003,
+        lr=0.1,
+        inv_dtype=jnp.float32,
+        eigensolver=solver,
+    )
+    fn = precond16.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    pg16, _ = precond16.step(precond16.init(), grads, captured)
+    pg32, _ = ref.step(ref.init(), grads, captured)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pg16), jax.tree_util.tree_leaves(pg32),
+    ):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.linalg.norm(b) + 1e-12
+        assert np.linalg.norm(a - b) / scale < 3e-2
+        cos = float(np.sum(a * b) / (
+            (np.linalg.norm(a) + 1e-12) * scale
+        ))
+        assert cos > 0.999
