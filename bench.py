@@ -58,9 +58,10 @@ KFAC_KW = dict(
     # TPU setting, equivalent to the reference's
     # compute-in-training-dtype semantics under AMP.
     factor_compute_dtype='bfloat16',
-    # bf16x3 refine refresh: residual unchanged on realistic spectra
-    # (ops/refine.py), ~2x cheaper per refresh.
-    refine_precision='high',
+    # Mixed-precision refine refresh: diagnostics at bf16x3, rotations
+    # single-pass bf16 -- residual unchanged on realistic spectra
+    # (ops/refine.py), ~2.6x cheaper per refresh than f32.
+    refine_precision='mixed',
     # 2 refine iterations: steady-state preconditioner residual 1.2e-2
     # vs 1.1e-2 at 3 (measured on the test spectra), ~25% cheaper.
     refine_iterations=2,

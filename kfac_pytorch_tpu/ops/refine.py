@@ -80,19 +80,34 @@ def refine_eigh(
             refresh cadence).
         precision: matmul precision for the ~6 d^3 contractions per
             iteration. 'highest' emulates f32 (6 bf16 MXU passes);
-            'high' (bf16x3) halves the refresh cost. Measured on-chip on
-            realistic rank-deficient factors, 'high' leaves the
-            preconditioner residual unchanged (~8e-3, truncation-
-            dominated) while orthonormality degrades ~1e-7 -> ~3e-6 --
-            well inside the final CholeskyQR's repair range.
+            'high' (bf16x3) halves the refresh cost; 'mixed' keeps the
+            diagnostic ``B = V^T A V`` (and the final CholeskyQR/Ritz
+            contractions) at 'high' but applies rotations and Newton-
+            Schulz in a single bf16 pass. Measured on-chip on realistic
+            rank-deficient factors: 'high' leaves the preconditioner
+            residual unchanged vs 'highest' (~8e-3, truncation-
+            dominated; orthonormality 1e-7 -> 4e-5, inside the final
+            CholeskyQR's repair range), and 'mixed' matches 'high'
+            (res 1.16e-2/9.7e-3/7.7e-3 at d=145/512/1153) at ~30% less
+            MXU work. Full-'default' is NOT safe: the bf16 diagnostic
+            degrades the residual 5-10x (measured).
 
     Returns:
         ``(v, w)``: refined orthonormal basis and Ritz values
         ``w_i = v_i^T a v_i`` (clamped >= 0), both f32, unsorted.
     """
+    # 'mixed': accuracy-critical contractions (the diagnostic B, the
+    # final CholeskyQR Gram and Ritz values) at 'high'; rotation apply +
+    # Newton-Schulz at single-pass bf16 (their error is pure basis
+    # drift, repaired by the final CholeskyQR).
+    base = 'high' if precision == 'mixed' else precision
     _HI = dict(
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision(precision),
+        precision=jax.lax.Precision(base),
+    )
+    _LO = _HI if precision != 'mixed' else dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision('default'),
     )
     a = a.astype(jnp.float32)
     a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
@@ -120,7 +135,7 @@ def refine_eigh(
             jnp.sum(x * x, axis=(-2, -1), keepdims=True),
         )
         x = x / jnp.maximum(1.0, fro / 0.9)
-        v = v + jnp.einsum('bij,bjk->bik', v, x, **_HI)
+        v = v + jnp.einsum('bij,bjk->bik', v, x, **_LO)
         if it == 0:
             # One Newton-Schulz step restores orthonormality to
             # O(||X^2||^2) using matmuls only -- cholesky/triangular_
@@ -130,8 +145,8 @@ def refine_eigh(
             # iterations' drift is repaired by the final CholeskyQR
             # (A/B on the test spectra: residual unchanged, ~25% fewer
             # d^3 matmuls per refresh).
-            vtv = jnp.einsum('bji,bjk->bik', v, v, **_HI)
-            v = 1.5 * v - 0.5 * jnp.einsum('bij,bjk->bik', v, vtv, **_HI)
+            vtv = jnp.einsum('bji,bjk->bik', v, v, **_LO)
+            v = 1.5 * v - 0.5 * jnp.einsum('bij,bjk->bik', v, vtv, **_LO)
     vtv = jnp.einsum('bji,bjk->bik', v, v, **_HI)
     ell = jnp.linalg.cholesky(vtv)
     v = jax.lax.linalg.triangular_solve(

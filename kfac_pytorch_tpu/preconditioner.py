@@ -290,13 +290,14 @@ class KFACPreconditioner:
             raise ValueError('refine_iterations must be > 0')
         self.refine_iterations = refine_iterations
         # Matmul precision of the refine refresh. 'high' (bf16x3) halves
-        # the refresh cost; on-chip A/B on realistic rank-deficient
-        # spectra leaves the preconditioner residual unchanged (see
-        # ops/refine.py docstring).
-        if refine_precision not in ('highest', 'high'):
+        # the refresh cost; 'mixed' additionally applies rotations in a
+        # single bf16 pass (~30% less MXU work, residual unchanged);
+        # on-chip A/Bs on realistic rank-deficient spectra in the
+        # ops/refine.py docstring.
+        if refine_precision not in ('highest', 'high', 'mixed'):
             raise ValueError(
-                "refine_precision must be 'highest' or 'high'; got "
-                f'{refine_precision!r}',
+                "refine_precision must be 'highest', 'high', or "
+                f"'mixed'; got {refine_precision!r}",
             )
         self.refine_precision = refine_precision
         self.grad_worker_fraction = grad_worker_fraction

@@ -198,3 +198,23 @@ class TestRefineEigh:
         )
         assert orth_error(v) < 1e-5
         assert precond_residual(a2[None], v, w, lam) < 3e-2
+
+
+def test_refine_mixed_precision_matches_high() -> None:
+    """'mixed' (single-bf16-pass rotations) must track the 'high'
+    refresh on realistic spectra. On CPU all precisions lower to f32 so
+    this pins shape/flow; the accuracy ladder is measured on-chip and
+    recorded in the refine_eigh docstring."""
+    d = 96
+    a = make_factors(d, 3)
+    w0, v0 = np.linalg.eigh(np.asarray(a, np.float64))
+    drift = 0.9 * a + 0.1 * make_factors(d, 3, seed=1)
+    for _ in range(10):
+        a = 0.95 * a + 0.05 * drift
+    lam = 3e-3 * float(np.trace(a[0]) / d)
+    v, w = refine_eigh(
+        jnp.asarray(a), jnp.asarray(v0.astype(np.float32)), lam,
+        n_iter=2, precision='mixed',
+    )
+    assert orth_error(v) < 1e-5
+    assert precond_residual(a, v, w, lam) < 3e-2
