@@ -317,6 +317,13 @@ def conv2d_a_factor_convgrad(
     ``kfac/layers/modules.py:170-237`` of gpauloski/kfac-pytorch):
     ``cov = P^T P / (rows * spatial^2)``, symmetrized, feature order
     ``(kh, kw, c)``, homogeneous bias row/col appended.
+
+    Symmetry is exploited at the conv level: for block column ``(i1,
+    j1)`` only output rows ``i2 >= i1`` are computed (a rectangular
+    output window -- slice the lhs to start at row ``i1``); the strictly
+    upper block rows come from transposing the computed mirror blocks.
+    ``sum_i (kh-i)/kh^2 = (kh+1)/(2 kh)`` of the full contraction FLOPs
+    (2/3 at kh=3), exactness preserved.
     """
     if x.ndim != 4:
         raise ValueError(f'Expected NHWC input, got shape {x.shape}')
@@ -324,7 +331,6 @@ def conv2d_a_factor_convgrad(
     kh, kw = kernel_size
     sh, sw = strides
     xp, out_h, out_w = _pad_for_conv(x, kernel_size, strides, padding)
-    hp, wp = xp.shape[1], xp.shape[2]
 
     spatial = out_h * out_w
     rows_total = n * spatial
@@ -335,6 +341,7 @@ def conv2d_a_factor_convgrad(
         else jax.lax.Precision.DEFAULT
     )
 
+    d0 = kh * kw * c
     cols = []
     for i1 in range(kh):
         for j1 in range(kw):
@@ -344,11 +351,12 @@ def conv2d_a_factor_convgrad(
                 (n, i1 + (out_h - 1) * sh + 1, j1 + (out_w - 1) * sw + 1, c),
                 (1, sh, sw, 1),
             )
-            # out[c2, i2, j2, c1] = sum_{n,y,x} xp[n, i2 + y*sh, j2 + x*sw,
-            # c2] * q1[n, y, x, c1] -- the conv weight-gradient with window
-            # (out_h, out_w) dilated by the stride.
+            # out[c2, r, j2, c1] = sum_{n,y,x} xp[n, (i1+r) + y*sh,
+            # j2 + x*sw, c2] * q1[n, y, x, c1] -- the conv weight-
+            # gradient with window (out_h, out_w) dilated by the stride,
+            # lhs sliced so only block rows i2 = i1 + r >= i1 are formed.
             blk = jax.lax.conv_general_dilated(
-                xp,
+                jax.lax.slice_in_dim(xp, i1, xp.shape[1], axis=1),
                 q1,
                 window_strides=(1, 1),
                 padding='VALID',
@@ -357,10 +365,24 @@ def conv2d_a_factor_convgrad(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            # (c2, kh, kw, c1) -> ((i2, j2, c2), c1) block column.
-            assert blk.shape == (c, kh, kw, c), blk.shape
-            cols.append(blk.transpose(1, 2, 0, 3).reshape(kh * kw * c, c))
-    cov0 = jnp.concatenate(cols, axis=1) * inv_scale
+            # (c2, kh - i1, kw, c1) -> ((i2, j2, c2), c1) block column,
+            # zero-padded on top for the uncomputed i2 < i1 block rows.
+            assert blk.shape == (c, kh - i1, kw, c), blk.shape
+            col = blk.transpose(1, 2, 0, 3).reshape((kh - i1) * kw * c, c)
+            cols.append(jnp.pad(col, ((i1 * kw * c, 0), (0, 0))))
+    low = jnp.concatenate(cols, axis=1)
+    # The i2 == i1 block band is present in both `low` and `low.T`
+    # (within-band blocks are computed for ALL (j1, j2) pairs); one copy
+    # is masked off before mirroring. Everything here is O(d0^2)
+    # elementwise on the small factor, not the big contraction.
+    band = jnp.repeat(jnp.arange(kh), kw * c)
+    strictly_lower = (band[:, None] > band[None, :]).astype(low.dtype)
+    same_band = (band[:, None] == band[None, :]).astype(low.dtype)
+    cov0 = (
+        low * strictly_lower
+        + low.T * strictly_lower.T
+        + low * same_band
+    ) * inv_scale
     cov0 = (cov0 + cov0.T) / 2.0
 
     if not has_bias:
