@@ -267,28 +267,64 @@ def conv2d_a_factor_slices(
 
     Wins when the channel count is small (the patches op's (c, kh, kw)
     grouping starves the lanes); for c >= 16 prefer ``convgrad``.
+
+    Channels are padded to 8 when ``c < 8``: a 3-channel piece writes
+    6-byte interleaved runs into the slab (measured ~10.4 ms for the
+    ResNet-50 stem at b128), an 8-channel piece writes 16-byte units
+    (~5.2 ms) -- the 1.8x extra Gram FLOPs run at full MXU rate and are
+    cheaper than the scatter. The pad channel carries ONES when the
+    layer has a bias: every ones-column of the im2col matrix is
+    identical, so the bias cross row and corner fall out of the same
+    Gram (exactly the ``[P, 1]`` homogeneous formulation); the zero pad
+    channels are sliced away.
     """
     if x.ndim != 4:
         raise ValueError(f'Expected NHWC input, got shape {x.shape}')
     n, _, _, c = x.shape
     kh, kw = kernel_size
     sh, sw = strides
+
     xp, out_h, out_w = _pad_for_conv(x, kernel_size, strides, padding)
+    # Channel padding happens AFTER the spatial halo padding so the
+    # ones channel is all-ones in the halo too (zero-padded halo ones
+    # would make the ones-columns position-dependent and break the
+    # homogeneous-bias identity).
+    cp = 8 if c < 8 else c
+    if cp != c:
+        pad_val = jnp.ones if has_bias else jnp.zeros
+        extra = [
+            pad_val(xp.shape[:-1] + (1,), xp.dtype),
+            jnp.zeros(xp.shape[:-1] + (cp - c - 1,), xp.dtype),
+        ]
+        xp = jnp.concatenate(
+            [xp] + [e for e in extra if e.shape[-1]], axis=-1,
+        )
+    elif has_bias:
+        # No pad slot available: append the ones channel explicitly.
+        xp = jnp.concatenate(
+            [xp, jnp.ones(xp.shape[:-1] + (1,), xp.dtype)], axis=-1,
+        )
+        cp = c + 1
     cols = [
         jax.lax.slice(
             xp,
             (0, i, j, 0),
-            (n, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, c),
+            (n, i + (out_h - 1) * sh + 1, j + (out_w - 1) * sw + 1, cp),
             (1, sh, sw, 1),
         )
         for i in range(kh)
         for j in range(kw)
     ]
-    p = jnp.concatenate(cols, axis=-1).reshape(-1, kh * kw * c)
+    p = jnp.concatenate(cols, axis=-1).reshape(-1, kh * kw * cp)
     spatial_size = out_h * out_w
+    covp = get_cov(p, scale=float(p.shape[0]) * spatial_size**2)
+    keep = [k * cp + ci for k in range(kh * kw) for ci in range(c)]
     if has_bias:
-        p = append_bias_ones(p)
-    return get_cov(p, scale=float(p.shape[0]) * spatial_size**2)
+        keep.append(c)  # any ones-column; they are all identical
+    if len(keep) == covp.shape[0]:
+        return covp
+    idx = jnp.asarray(keep)
+    return covp[idx][:, idx]
 
 
 def conv2d_a_factor_convgrad(
