@@ -91,7 +91,12 @@ def collect_trace(run: Any, carry: Any, logdir: str) -> None:
 
 def summarize(logdir: str, top: int = 40) -> None:
     """Aggregate device self-time per op name from the trace-events JSON."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        # xprof ships a working converter on this stack; the
+        # tensorboard_plugin_profile one trips a protobuf version check.
+        from xprof.convert import raw_to_tool_data
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     xspaces = glob.glob(
         os.path.join(logdir, 'plugins/profile/*/*.xplane.pb'),
@@ -107,8 +112,9 @@ def summarize(logdir: str, top: int = 40) -> None:
             pass
     trace = json.loads(data)
     events = trace.get('traceEvents', [])
-    # Device-side events live on TPU pid tracks; host threads have
-    # names like "python"/"main". Keep complete events with a duration.
+    # Device-side events live on TPU pid tracks; keep only the leaf
+    # "XLA Ops" thread -- scope/module threads nest the same time and
+    # would double-count.
     pid_names = {
         e['pid']: e['args'].get('name', '')
         for e in events
@@ -119,12 +125,20 @@ def summarize(logdir: str, top: int = 40) -> None:
         pid for pid, name in pid_names.items()
         if 'TPU' in name or 'tpu' in name or '/device' in name.lower()
     }
+    op_tids = {
+        (e['pid'], e['tid'])
+        for e in events
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name'
+        and 'args' in e and 'XLA Ops' in e['args'].get('name', '')
+    }
     agg: dict[str, float] = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get('ph') != 'X' or 'dur' not in e:
             continue
         if device_pids and e.get('pid') not in device_pids:
+            continue
+        if op_tids and (e.get('pid'), e.get('tid')) not in op_tids:
             continue
         name = e.get('name', '?')
         agg[name] += e['dur']
