@@ -486,7 +486,7 @@ def time_to_accuracy(
 def main() -> None:
     # Headline: the BASELINE.md workload (ResNet-50, ImageNet shapes).
     _, params, bn, precond, loss_fn, x, y = build_rn50()
-    rn50 = step_overhead(params, bn, precond, loss_fn, x, y, repeats=3)
+    rn50 = step_overhead(params, bn, precond, loss_fn, x, y, repeats=5)
 
     # Detail: ResNet-20/CIFAR (round-1 continuity), capture cost, decomp.
     _, params20, bn20, precond20, loss20, x20, y20 = build()
