@@ -5,7 +5,9 @@ DeepSpeed ``PipelineModule`` models (``kfac/gpt_neox/preconditioner.py:40-515``
 and ``kfac/gpt_neox/layer.py:18-311`` of gpauloski/kfac-pytorch): K-FAC over
 a model whose layers physically live on different pipeline stages.
 
-Design (SPMD over a ``(pipe, data)`` mesh, one program for all devices):
+Design (SPMD over a ``(pipe, data)`` or ``(pipe, data, model)`` mesh, one
+program for all devices; with a ``model`` axis each stage kernel is
+column-parallel -- the reference's 3D regime):
 
 - The model is a stack of identical stages (the standard homogeneous-stage
   pipelining layout); stage parameters carry a leading ``pipe``-sharded
@@ -112,7 +114,8 @@ def _derive_layout(
     """
     n_pipe = mesh.shape['pipe']
     n_data = mesh.shape['data']
-    topo = PipelineTopology(pipe=n_pipe, data=n_data, model=1)
+    n_model = mesh.shape.get('model', 1)
+    topo = PipelineTopology(pipe=n_pipe, data=n_data, model=n_model)
     # Equal per-layer cost: the greedy balancer spreads a stage's layers
     # over its pipe peers; with homogeneous stages every stage gets the
     # same placement, which is what the stacked-block layout executes.
@@ -131,6 +134,11 @@ def _derive_layout(
                     'assignment factor_group is not a data-parallel '
                     'group; cannot map to mesh axes',
                 )
+    # Factors reduce over the stage's DP group only; under TP the
+    # in-body A reduce additionally spans 'model' (pipeline_capture
+    # appends it -- numerically a no-op on identical contributions,
+    # needed to mark SPMD replication), while tap cotangents arrive
+    # already model-summed by the shard_map transpose.
     factor_reduce_axes = ('data',)
 
     # MEM-OPT: inverses stay on the owning stage (block axis sharded over
@@ -144,8 +152,19 @@ def _stage_forward(
     b: jax.Array,
     x: jax.Array,
     taps: jax.Array,
+    tp: bool,
 ) -> tuple[jax.Array, jax.Array]:
     """One stage: n_layers of Dense+bias(+tap)+relu.
+
+    With ``tp`` (a ``model`` mesh axis), each Dense is column-parallel:
+    the local kernel slice ``w[layer]`` is ``[d, d/TP]`` and the
+    pre-activation is all-gathered over ``model`` back to full width
+    (the Megatron column-parallel pattern; the reference's TP-aware
+    layer instead gathers activations to a primary rank --
+    ``kfac/gpt_neox/layer.py:18-311`` of gpauloski/kfac-pytorch). Taps
+    and biases apply to the GATHERED tensor, so layer inputs and tap
+    cotangents are full-width and replicated over ``model`` -- factor
+    capture is TP-agnostic.
 
     Returns the stage output and the stacked per-layer INPUTS (the
     A-factor activations), ``[L, mb, d]``.
@@ -155,7 +174,10 @@ def _stage_forward(
     h = x
     for layer in range(n_layers):
         xs.append(h)
-        h = h @ w[layer] + b[layer] + taps[layer]
+        h = h @ w[layer]
+        if tp:
+            h = jax.lax.all_gather(h, 'model', axis=-1, tiled=True)
+        h = h + b[layer] + taps[layer]
         h = jax.nn.relu(h)
     return h, jnp.stack(xs)
 
@@ -192,6 +214,17 @@ def pipeline_capture(
     """
     n_stages = mesh.shape['pipe']
     n_data = mesh.shape['data']
+    tp = 'model' in mesh.axis_names and mesh.shape['model'] > 1
+    # In the pipelined body the activations pass through per-kernel
+    # all_gathers, which the SPMD replication tracker treats as still
+    # varying over 'model' -- the A-factor reduce therefore spans
+    # ('data', 'model') there (numerically a no-op: the contributions
+    # are identical across 'model'). The tap cotangents arrive OUTSIDE
+    # the body already summed over 'model' by the shard_map transpose,
+    # so the G reduce keeps the caller's axes.
+    body_factor_axes = tuple(factor_reduce_axes)
+    if tp and 'model' not in body_factor_axes:
+        body_factor_axes = body_factor_axes + ('model',)
     n_layers, width = params['w'].shape[1], params['w'].shape[-1]
     n_micro = n_microbatches
     batch_global = x.shape[0]
@@ -200,7 +233,9 @@ def pipeline_capture(
     mb = batch_global // (n_data * n_micro)
     n_ticks = n_micro + n_stages - 1
 
-    def _factor_allreduce(v: jax.Array) -> jax.Array:
+    def _factor_allreduce(
+        v: jax.Array, axes: tuple[str, ...],
+    ) -> jax.Array:
         """Mean over the stage's DP group, optionally triu-packed.
 
         Factor sums are bitwise-symmetric (commutative dot products), so
@@ -210,13 +245,13 @@ def pipeline_capture(
 
         if symmetric_comm:
             out = v
-            for ax in factor_reduce_axes:
+            for ax in axes:
                 out = reduce_factors(out, ax, symmetric=True)
             return out
         n = 1
-        for ax in factor_reduce_axes:
+        for ax in axes:
             n = n * jax.lax.psum(1, ax)
-        return jax.lax.psum(v, factor_reduce_axes) / n
+        return jax.lax.psum(v, axes) / n
 
     def body(
         w: jax.Array,  # [1, L, d, d] local stage slice
@@ -238,7 +273,7 @@ def pipeline_capture(
             # stage <= t < stage + n_micro (traced -> masked, not branched).
             feed = xmb[min(t, n_micro - 1)]
             h_in = jnp.where(stage == 0, feed, buf)
-            out, xs = _stage_forward(w, b, h_in, taps[t])
+            out, xs = _stage_forward(w, b, h_in, taps[t], tp)
             valid = (stage <= t) & (t < stage + n_micro)
             xs_aug = jnp.concatenate(
                 [xs, jnp.ones((n_layers, mb, 1), xs.dtype)], axis=-1,
@@ -261,10 +296,20 @@ def pipeline_capture(
                 out, 'pipe',
                 perm=[(i, (i + 1) % n_stages) for i in range(n_stages)],
             )
-        loss = jax.lax.psum(loss_acc, ('pipe', 'data')) / (
-            n_micro * n_data
+        # The per-rank loss contributions are identical across 'model'
+        # (everything after the kernel all_gathers is full-width), but
+        # the replication tracker sees them as varying -- the extra
+        # psum-mean over 'model' is numerically a no-op that marks the
+        # loss replicated.
+        loss_axes: tuple[str, ...] = ('pipe', 'data')
+        n_norm = n_micro * n_data
+        if tp:
+            loss_axes = loss_axes + ('model',)
+            n_norm = n_norm * mesh.shape['model']
+        loss = jax.lax.psum(loss_acc, loss_axes) / n_norm
+        a_fac = _factor_allreduce(a_acc, body_factor_axes) / (
+            n_micro * mb
         )
-        a_fac = _factor_allreduce(a_acc) / (n_micro * mb)
         a_fac = (a_fac + jnp.swapaxes(a_fac, -1, -2)) / 2.0
         return loss, a_fac[None]
 
@@ -277,11 +322,12 @@ def pipeline_capture(
     )
 
     def loss_of(params: dict[str, jax.Array], taps: jax.Array):
+        w_spec = P('pipe', None, None, 'model') if tp else P('pipe')
         loss, a_fac = _shard_map(
             body,
             mesh,
             in_specs=(
-                P('pipe'), P('pipe'), P('pipe', 'data'),
+                w_spec, P('pipe'), P('pipe', 'data'),
                 P('data'), P('data'),
             ),
             out_specs=(P(), P('pipe')),
@@ -300,7 +346,9 @@ def pipeline_capture(
     def g_reduce(gt: jax.Array) -> jax.Array:
         gt = gt[0, 0]  # [T, L, mb, d] local
         g_sum = jnp.einsum('tlmi,tlmj->lij', gt, gt)
-        g_fac = _factor_allreduce(g_sum) / (n_micro * gt.shape[-2])
+        g_fac = _factor_allreduce(
+            g_sum, tuple(factor_reduce_axes),
+        ) / (n_micro * gt.shape[-2])
         g_fac = (g_fac + jnp.swapaxes(g_fac, -1, -2)) / 2.0
         return g_fac[None]
 
