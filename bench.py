@@ -344,6 +344,10 @@ def decomp_metrics(precond: Any) -> dict[str, Any]:
         'refine_refresh_ms': round(t_refine * 1e3, 3),
         'xla_eigh_tflops': round(flops / t_eigh / 1e12, 3),
         'refresh_speedup': round(t_eigh / t_refine, 2),
+        # Eigh-equivalent service rate of the production refresh: the
+        # conventional 9*d^3 eigh flop count delivered per second by the
+        # warm refine (the MXU-resident TPU-native decomposition path).
+        'effective_eigh_tflops': round(flops / t_refine / 1e12, 3),
     }
 
 
