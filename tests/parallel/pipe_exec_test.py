@@ -315,3 +315,29 @@ def test_3d_pipeline_tp_training_decreases_loss() -> None:
     assert losses[-1] < losses[0] - 0.1, losses
     # Second-order state stays pipe-sharded (MEM-OPT) in 3D too.
     assert state.qa.sharding.spec[0] == 'pipe'
+
+
+def test_3d_symmetric_comm_matches_dense_reduce() -> None:
+    """Triu-packed factor reduce stays lossless on the 3D mesh (the
+    'model' leg of the A reduce also rides the packed format)."""
+    stages = 2
+    mesh = _mesh3d()
+    params = init_pipeline_params(
+        jax.random.PRNGKey(3), stages, LAYERS, WIDTH,
+    )
+    x, y = _data()
+    dense = jax.jit(
+        lambda p, bx, by: pipeline_capture(mesh, p, bx, by, MICRO),
+    )(params, x, y)
+    packed = jax.jit(
+        lambda p, bx, by: pipeline_capture(
+            mesh, p, bx, by, MICRO, symmetric_comm=True,
+        ),
+    )(params, x, y)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9,
+        ),
+        dense,
+        packed,
+    )
