@@ -377,7 +377,6 @@ def conv2d_a_factor_convgrad(
         else jax.lax.Precision.DEFAULT
     )
 
-    d0 = kh * kw * c
     cols = []
     for i1 in range(kh):
         for j1 in range(kw):
