@@ -15,10 +15,12 @@ from kfac_pytorch_tpu import enums as enums
 from kfac_pytorch_tpu import hyperparams as hyperparams
 from kfac_pytorch_tpu import layers as layers
 from kfac_pytorch_tpu import ops as ops
+from kfac_pytorch_tpu import parallel as parallel
 from kfac_pytorch_tpu import scheduler as scheduler
 from kfac_pytorch_tpu import state as state
 from kfac_pytorch_tpu import tracing as tracing
 from kfac_pytorch_tpu import train as train
+from kfac_pytorch_tpu import warnings as warnings
 from kfac_pytorch_tpu.capture import accumulate_captures as accumulate_captures
 from kfac_pytorch_tpu.capture import CapturedFactors as CapturedFactors
 from kfac_pytorch_tpu.enums import AllreduceMethod as AllreduceMethod
