@@ -388,13 +388,16 @@ def conv2d_a_factor_convgrad(
             )
             # out[c2, r, j2, c1] = sum_{n,y,x} xp[n, (i1+r) + y*sh,
             # j2 + x*sw, c2] * q1[n, y, x, c1] -- the conv weight-
-            # gradient with window (out_h, out_w) dilated by the stride,
-            # lhs sliced so only block rows i2 = i1 + r >= i1 are formed.
+            # gradient with window (out_h, out_w) dilated by the stride.
+            # Negative lhs padding trims the first i1 rows IN the conv
+            # (so only block rows i2 = i1 + r >= i1 are formed) without
+            # materializing a sliced copy of the activation -- the
+            # slice-copy variant OOMed ResNet-50 b256 on 16 GB HBM.
             blk = jax.lax.conv_general_dilated(
-                jax.lax.slice_in_dim(xp, i1, xp.shape[1], axis=1),
+                xp,
                 q1,
                 window_strides=(1, 1),
-                padding='VALID',
+                padding=((-i1, 0), (0, 0)),
                 rhs_dilation=(sh, sw),
                 dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
                 preferred_element_type=jnp.float32,
