@@ -251,6 +251,7 @@ def conv2d_a_factor_slices(
     strides: tuple[int, int] = (1, 1),
     padding: str | int | Sequence[int] | Sequence[tuple[int, int]] = 'SAME',
     has_bias: bool = True,
+    pad_to: int | None = None,
 ) -> jax.Array:
     """Conv2d A factor via a concat-of-strided-slices patch slab.
 
@@ -276,7 +277,10 @@ def conv2d_a_factor_slices(
     layer has a bias: every ones-column of the im2col matrix is
     identical, so the bias cross row and corner fall out of the same
     Gram (exactly the ``[P, 1]`` homogeneous formulation); the zero pad
-    channels are sliced away.
+    channels are sliced away. The pad width is HBM-gated: if the padded
+    slab would exceed ~1.5 GB (the cp=8 stem slab at batch 256 is
+    2.5 GB and OOMs a 16 GB chip), the pad drops to 4 channels (8-byte
+    write units -- still 1.3x better than 6-byte, half the slab).
     """
     if x.ndim != 4:
         raise ValueError(f'Expected NHWC input, got shape {x.shape}')
@@ -289,7 +293,16 @@ def conv2d_a_factor_slices(
     # ones channel is all-ones in the halo too (zero-padded halo ones
     # would make the ones-columns position-dependent and break the
     # homogeneous-bias identity).
-    cp = 8 if c < 8 else c
+    if pad_to is not None:
+        cp = max(pad_to, c)
+    else:
+        cp = 8 if c < 8 else c
+        slab_bytes = (
+            n * out_h * out_w * kh * kw * cp
+            * jnp.dtype(x.dtype).itemsize
+        )
+        if c < 4 and slab_bytes > 1.5e9:
+            cp = 4
     if cp != c:
         pad_val = jnp.ones if has_bias else jnp.zeros
         extra = [

@@ -72,3 +72,17 @@ def test_auto_1x1_uses_fast_path() -> None:
         np.asarray(mk('patches').get_a_factor(x)),
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize('pad_to', [4, 8, 16])
+@pytest.mark.parametrize('bias', [True, False])
+def test_pad_widths_all_exact(pad_to: int, bias: bool) -> None:
+    """Every channel-pad width the HBM gate can pick (cp=4 for giant
+    slabs, cp=8 default) must stay exact, with and without bias."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 9, 8, 3)), jnp.float32)
+    a = patches_factor(x, (3, 3), (2, 1), 'SAME', bias)
+    b = conv2d_a_factor_slices(
+        x, (3, 3), (2, 1), 'SAME', bias, pad_to=pad_to,
+    )
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
