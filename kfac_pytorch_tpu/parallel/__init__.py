@@ -16,6 +16,15 @@ from kfac_pytorch_tpu.parallel.pipe_exec import (
 from kfac_pytorch_tpu.parallel.pipe_exec import (
     pipeline_capture as pipeline_capture,
 )
+from kfac_pytorch_tpu.parallel.pipe_transformer import (
+    init_transformer_params as init_transformer_params,
+)
+from kfac_pytorch_tpu.parallel.pipe_transformer import (
+    make_transformer_pipeline_step as make_transformer_pipeline_step,
+)
+from kfac_pytorch_tpu.parallel.pipe_transformer import (
+    transformer_pipeline_capture as transformer_pipeline_capture,
+)
 from kfac_pytorch_tpu.parallel.pipeline import (
     PipelineAssignment as PipelineAssignment,
 )
