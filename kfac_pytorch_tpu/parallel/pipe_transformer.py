@@ -102,20 +102,34 @@ def block_forward(
     x: jax.Array,
     taps: dict[str, jax.Array],
     n_heads: int,
+    tp: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """One transformer block; returns (output, per-sublayer A inputs).
 
     ``x``: [mb, T, d]. ``taps[name]``: zeros shaped like the sublayer
     output. The returned dict maps sublayer name -> its INPUT rows
     [mb, T, fan_in] (the A-factor activations).
+
+    With ``tp`` every projection kernel is a column shard over the
+    ``model`` mesh axis (the GPT-NeoX ColumnParallelLinear layout for
+    qkv); pre-activations are all-gathered back to full width before
+    bias/taps, so capture stays TP-agnostic -- same design as
+    ``pipe_exec._stage_forward``.
     """
+
+    def dense(h: jax.Array, name: str) -> jax.Array:
+        z = h @ params[name]
+        if tp:
+            z = jax.lax.all_gather(z, 'model', axis=-1, tiled=True)
+        return z + params[f'{name}_b'] + taps[name]
+
     mb, t, d = x.shape
     dh = d // n_heads
     a_in: dict[str, jax.Array] = {}
 
     h = _rms_norm(x)
     a_in['qkv'] = h
-    qkv = h @ params['qkv'] + params['qkv_b'] + taps['qkv']
+    qkv = dense(h, 'qkv')
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(z: jax.Array) -> jax.Array:
@@ -129,18 +143,13 @@ def block_forward(
     mix = jnp.einsum('bhqk,bhkd->bhqd', probs, v)
     mix = mix.transpose(0, 2, 1, 3).reshape(mb, t, d)
     a_in['attn_out'] = mix
-    attn = mix @ params['attn_out'] + params['attn_out_b'] + (
-        taps['attn_out']
-    )
-    x = x + attn
+    x = x + dense(mix, 'attn_out')
 
     h = _rms_norm(x)
     a_in['mlp_in'] = h
-    pre = h @ params['mlp_in'] + params['mlp_in_b'] + taps['mlp_in']
-    act = jax.nn.relu(pre)
+    act = jax.nn.relu(dense(h, 'mlp_in'))
     a_in['mlp_out'] = act
-    out = act @ params['mlp_out'] + params['mlp_out_b'] + taps['mlp_out']
-    return x + out, a_in
+    return x + dense(act, 'mlp_out'), a_in
 
 
 def _a_dims(d_model: int, d_ff: int) -> dict[str, int]:
@@ -187,7 +196,10 @@ def transformer_pipeline_capture(
     """
     n_stages = mesh.shape['pipe']
     n_data = mesh.shape['data']
+    tp = 'model' in mesh.axis_names and mesh.shape['model'] > 1
+    n_model = mesh.shape['model'] if tp else 1
     d_model = x.shape[-1]
+    # Kernels may arrive TP-sharded; shapes here are the GLOBAL view.
     d_ff = params['mlp_in'].shape[-1]
     t_len = x.shape[1]
     n_micro = n_microbatches
@@ -206,7 +218,7 @@ def transformer_pipeline_capture(
         yl: jax.Array,
     ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
         sp = {k: v[0] for k, v in stage_params.items()}
-        tp = {k: v[0, 0] for k, v in taps.items()}
+        tps = {k: v[0, 0] for k, v in taps.items()}
         stage = jax.lax.axis_index('pipe')
         xmb = xl.reshape(n_micro, mb, t_len, d_model)
         ymb = yl.reshape(n_micro, mb, t_len)
@@ -220,7 +232,8 @@ def transformer_pipeline_capture(
             feed = xmb[min(t, n_micro - 1)]
             h_in = jnp.where(stage == 0, feed, buf)
             out, a_in = block_forward(
-                sp, h_in, {k: v[t] for k, v in tp.items()}, n_heads,
+                sp, h_in, {k: v[t] for k, v in tps.items()},
+                n_heads, tp,
             )
             valid = jnp.where(
                 (stage <= t) & (t < stage + n_micro), 1.0, 0.0,
@@ -249,14 +262,23 @@ def transformer_pipeline_capture(
                 out, 'pipe',
                 perm=[(i, (i + 1) % n_stages) for i in range(n_stages)],
             )
-        loss = jax.lax.psum(loss_acc, ('pipe', 'data')) / (
-            n_micro * n_data
+        # Under TP the per-rank contributions are identical across
+        # 'model' (capture sees gathered full-width tensors) but the
+        # replication tracker sees them varying; the extra psum-mean
+        # over 'model' is numerically a no-op that marks replication
+        # (same dance as pipe_exec).
+        loss_axes = (
+            ('pipe', 'data', 'model') if tp else ('pipe', 'data')
         )
+        loss = jax.lax.psum(loss_acc, loss_axes) / (
+            n_micro * n_data * n_model
+        )
+        fac_axes = ('data', 'model') if tp else ('data',)
         rows_per_dev = n_micro * mb * t_len
         a_out = []
         for name in SUBLAYERS:
-            fac = jax.lax.psum(a_accs[name], 'data') / (
-                n_data * rows_per_dev
+            fac = jax.lax.psum(a_accs[name], fac_axes) / (
+                n_data * n_model * rows_per_dev
             )
             a_out.append(((fac + fac.T) / 2.0)[None])
         return loss, tuple(a_out)
@@ -270,11 +292,18 @@ def transformer_pipeline_capture(
     }
 
     def loss_of(params: dict[str, jax.Array], taps: Any):
+        def pspec(name: str) -> P:
+            # Kernels are column-sharded over 'model' under TP; biases
+            # (and everything else) stay full-width per stage.
+            if tp and not name.endswith('_b'):
+                return P('pipe', None, 'model')
+            return P('pipe')
+
         loss, a_fac = _shard_map(
             body,
             mesh,
             in_specs=(
-                {k: P('pipe') for k in params},
+                {k: pspec(k) for k in params},
                 {k: P('pipe', 'data') for k in taps},
                 P('data'), P('data'),
             ),

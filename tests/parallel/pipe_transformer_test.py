@@ -158,3 +158,39 @@ def test_transformer_pipeline_trains_and_shards_state() -> None:
         assert arr.sharding.spec[0] == 'pipe', arr.sharding
         shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
         assert shard_rows == {1}, shard_rows
+
+
+def test_3d_transformer_pipeline_matches_unpipelined() -> None:
+    """pipe x data x model with column-parallel qkv/attn_out/mlp kernels
+    (the GPT-NeoX 3D regime): pipelined capture must match the
+    unpipelined unsharded model exactly."""
+    stages = 2
+    devices = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devices, ('pipe', 'data', 'model'))
+    params = init_transformer_params(
+        jax.random.PRNGKey(3), stages, D_MODEL, D_FF,
+    )
+    x, y = _data()
+
+    loss_p, grads_p, a_p, g_p = jax.jit(
+        lambda p, bx, by: transformer_pipeline_capture(
+            mesh, p, bx, by, MICRO, HEADS,
+        ),
+    )(params, x, y)
+    loss_r, grads_r, a_r, g_r = _unpipelined_reference(params, x, y)
+
+    np.testing.assert_allclose(float(loss_p), loss_r, rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_p[k]), np.asarray(grads_r[k]),
+            rtol=1e-4, atol=1e-7, err_msg=f'grad mismatch {k}',
+        )
+    for name in SUBLAYERS:
+        np.testing.assert_allclose(
+            np.asarray(a_p[name]), a_r[name],
+            rtol=1e-5, atol=1e-6, err_msg=f'A mismatch {name}',
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_p[name]), g_r[name],
+            rtol=1e-4, atol=1e-9, err_msg=f'G mismatch {name}',
+        )
