@@ -194,3 +194,35 @@ def test_3d_transformer_pipeline_matches_unpipelined() -> None:
             np.asarray(g_p[name]), g_r[name],
             rtol=1e-4, atol=1e-9, err_msg=f'G mismatch {name}',
         )
+
+
+def test_transformer_pipe_state_checkpoint_roundtrip(tmp_path) -> None:
+    """The pipelined-transformer second-order state is a plain pytree:
+    it must round-trip through Orbax unchanged (sharded-save of the
+    pipe-sharded blocks is handled by Orbax natively)."""
+    import orbax.checkpoint as ocp
+
+    mesh = _mesh()
+    params = init_transformer_params(
+        jax.random.PRNGKey(7), STAGES, D_MODEL, D_FF,
+    )
+    x, y = _data()
+    init_state, step = make_transformer_pipeline_step(mesh, MICRO, HEADS)
+    state = init_state(D_MODEL, D_FF)
+    state, params, _ = jax.jit(step)(state, params, x, y)
+    jax.block_until_ready(state)
+
+    path = str(tmp_path / 'pipe_tf_ckpt')
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {'a': state.a, 'g': state.g,
+                          'steps': state.steps})
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    for name in SUBLAYERS:
+        np.testing.assert_array_equal(
+            np.asarray(restored['a'][name]), np.asarray(state.a[name]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(restored['g'][name]), np.asarray(state.g[name]),
+        )
+    assert int(restored['steps']) == int(state.steps)
