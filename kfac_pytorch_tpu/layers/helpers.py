@@ -29,6 +29,7 @@ from kfac_pytorch_tpu.ops.covariance import _normalize_padding
 from kfac_pytorch_tpu.ops.covariance import append_bias_ones
 from kfac_pytorch_tpu.ops.covariance import extract_conv2d_patches
 from kfac_pytorch_tpu.ops.covariance import get_cov
+from kfac_pytorch_tpu.ops.covariance import get_cov_blocked
 
 __all__ = ['LayerHelper', 'LinearHelper', 'Conv2dHelper']
 
@@ -49,6 +50,26 @@ class LayerHelper:
     # kfac/layers/base.py:345-373). bf16 is the production TPU setting:
     # MXU-native single-pass matmuls, f32 statistics out.
     compute_dtype: Any = None
+    # Gram contraction scheme for the plain (no patch extraction)
+    # covariances -- Linear A/G, conv G, and the 1x1-conv A fast path:
+    # 'full' (one dot_general), 'tri' (lower-block-triangle contraction,
+    # get_cov_blocked: 0.75x FLOPs at ~1.5x row-matrix reads), or 'auto'
+    # (tri for wide factors where the Gram is compute-bound, full for
+    # narrow/bandwidth-bound ones; threshold from the on-chip A/B sweep,
+    # docs/PERF_NOTES.md).
+    gram_method: str = 'full'
+
+    def _gram(
+        self,
+        p: jax.Array,
+        scale: float | jax.Array | None = None,
+    ) -> jax.Array:
+        method = self.gram_method
+        if method == 'auto':
+            method = 'tri' if p.shape[-1] >= 512 else 'full'
+        if method == 'tri':
+            return get_cov_blocked(p, scale=scale)
+        return get_cov(p, scale=scale)
 
     @property
     def a_factor_shape(self) -> tuple[int, int]:
@@ -117,12 +138,12 @@ class LinearHelper(LayerHelper):
         a = a.reshape(-1, a.shape[-1])
         if self.has_bias:
             a = append_bias_ones(a)
-        return get_cov(a)
+        return self._gram(a)
 
     def get_g_factor(self, g: jax.Array) -> jax.Array:
         g = self._compute_cast(self._maybe_cast(g))
         g = g.reshape(-1, g.shape[-1])
-        return get_cov(g)
+        return self._gram(g)
 
     def get_grad(self, grads: Grads) -> jax.Array:
         # flax Dense kernel is (in, out); the K-FAC convention is (out, in).
@@ -274,7 +295,7 @@ class Conv2dHelper(LayerHelper):
             p = a_s.reshape(-1, a_s.shape[-1])
             if self.has_bias:
                 p = append_bias_ones(p)
-            return get_cov(
+            return self._gram(
                 p, scale=float(p.shape[0]) * spatial_size**2,
             )
         # XLA's native patches op lowers ~2x faster on TPU than a
@@ -307,7 +328,7 @@ class Conv2dHelper(LayerHelper):
         g = self._compute_cast(self._maybe_cast(g))
         spatial_size = g.shape[1] * g.shape[2]
         g2 = g.reshape(-1, g.shape[-1]) / spatial_size
-        return get_cov(g2)
+        return self._gram(g2)
 
     def get_grad(self, grads: Grads) -> jax.Array:
         # flax Conv kernel is (kh, kw, in, out) -> (out, kh*kw*in), matching

@@ -85,6 +85,7 @@ def get_module_helper(
     factor_dtype: Any = None,
     compute_dtype: Any = None,
     conv_a_factor_method: str = 'patches',
+    gram_method: str = 'full',
 ) -> tuple[str, LayerHelper] | None:
     """Build a helper for a supported flax module, else None.
 
@@ -100,6 +101,7 @@ def get_module_helper(
                 has_bias=bool(module.use_bias),
                 factor_dtype=factor_dtype,
                 compute_dtype=compute_dtype,
+                gram_method=gram_method,
             ),
         )
     if isinstance(module, nn.Conv):
@@ -122,6 +124,7 @@ def get_module_helper(
                 strides=strides,
                 padding=module.padding,
                 a_factor_method=conv_a_factor_method,
+                gram_method=gram_method,
             ),
         )
     return None
@@ -134,6 +137,7 @@ def register_modules(
     factor_dtype: Any = None,
     factor_compute_dtype: Any = None,
     conv_a_factor_method: str = 'patches',
+    gram_method: str = 'full',
     init_fn: Callable[..., Any] | None = None,
     **example_kwargs: Any,
 ) -> dict[str, LayerSpec]:
@@ -150,6 +154,8 @@ def register_modules(
         conv_a_factor_method: A-factor algorithm for conv layers
             ('patches' | 'convgrad' | 'rowgram' | 'pallas'); see
             ``Conv2dHelper.a_factor_method``.
+        gram_method: Gram contraction scheme for the plain covariances
+            ('full' | 'tri' | 'auto'); see ``LayerHelper.gram_method``.
         init_fn: optional replacement for ``model.init`` -- a callable
             invoked (abstractly) to run one forward pass. Use when ``init``
             needs rngs/mutable collections beyond the default.
@@ -178,6 +184,7 @@ def register_modules(
             factor_dtype,
             factor_compute_dtype,
             conv_a_factor_method=conv_a_factor_method,
+            gram_method=gram_method,
         )
         if helper_info is not None:
             module_type, helper = helper_info

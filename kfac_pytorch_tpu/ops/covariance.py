@@ -27,6 +27,7 @@ import jax.numpy as jnp
 __all__ = [
     'append_bias_ones',
     'get_cov',
+    'get_cov_blocked',
     'reshape_data',
     'extract_conv2d_patches',
     'conv2d_out_shape',
@@ -92,6 +93,68 @@ def get_cov(
     if b is None:
         cov = (cov + cov.T) / 2.0
     return cov
+
+
+def get_cov_blocked(
+    a: jax.Array,
+    scale: float | jax.Array | None = None,
+    nb: int = 2,
+) -> jax.Array:
+    """``get_cov(a)`` computing only the lower block triangle of the Gram.
+
+    XLA has no ``syrk`` primitive, so ``get_cov`` pays the full ``d^2``
+    contraction for a symmetric output. This exact reformulation splits
+    the feature axis into ``nb`` column chunks and runs one trailing
+    contraction per chunk: ``dot_j = a[:, lo_j:]^T @ a[:, lo_j:hi_j]``,
+    i.e. block column ``j`` from its diagonal block down. The strictly
+    upper blocks come from mirroring -- ``(nb+1)/(2*nb)`` of the FLOPs
+    (0.75x at nb=2), while the row matrix is re-read only ~``(nb+1)/2``
+    times vs 2 for the plain Gram (docs/PERF_NOTES.md: K-chunked
+    triangles only pay when the extra passes stay cheap, i.e. when the
+    contraction is compute-bound: large ``d``).
+
+    Same numerical contract as symmetric ``get_cov`` (f32 accumulation,
+    scale applied to the small output, exactly symmetric result); the
+    mirrored blocks pick one of the two rounding-equivalent values the
+    full path averages.
+    """
+    if a.ndim != 2:
+        raise ValueError(
+            f'Input tensor must have 2 dimensions. Got shape {a.shape}',
+        )
+    d = a.shape[1]
+    if nb < 2 or d < nb:
+        return get_cov(a, scale=scale)
+    if scale is None:
+        scale = a.shape[0]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(a.dtype).itemsize >= 4
+        else jax.lax.Precision.DEFAULT
+    )
+    bounds = [round(i * d / nb) for i in range(nb + 1)]
+    cols = []
+    for j in range(nb):
+        lo, hi = bounds[j], bounds[j + 1]
+        blk = jax.lax.dot_general(
+            a[:, lo:],
+            a[:, lo:hi],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        cols.append(jnp.pad(blk, ((lo, 0), (0, 0))))
+    low = jnp.concatenate(cols, axis=1) / scale
+    low = low.astype(jnp.promote_types(a.dtype, jnp.float32))
+    band = jnp.concatenate([
+        jnp.full((bounds[j + 1] - bounds[j],), j, jnp.int32)
+        for j in range(nb)
+    ])
+    strictly_lower = (band[:, None] > band[None, :]).astype(low.dtype)
+    same_band = (band[:, None] == band[None, :]).astype(low.dtype)
+    lower = low * strictly_lower
+    diag = low * same_band
+    return lower + lower.T + (diag + diag.T) / 2.0
 
 
 def reshape_data(

@@ -196,6 +196,7 @@ class KFACPreconditioner:
         ),
         skip_layers: Sequence[str] = (),
         conv_a_factor_method: str = 'auto',
+        gram_method: str = 'full',
         init_fn: Callable[..., Any] | None = None,
         loglevel: int = logging.DEBUG,
     ) -> None:
@@ -229,6 +230,11 @@ class KFACPreconditioner:
                 f"'slices', 'convgrad', 'rowgram', 'pallas'; got "
                 f'{conv_a_factor_method!r}',
             )
+        if gram_method not in ('full', 'tri', 'auto'):
+            raise ValueError(
+                "gram_method must be one of 'full', 'tri', 'auto'; "
+                f'got {gram_method!r}',
+            )
         if (
             compute_method == ComputeMethod.EIGEN
             and compute_eigenvalue_outer_product
@@ -249,6 +255,7 @@ class KFACPreconditioner:
                 factor_dtype=factor_dtype,
                 factor_compute_dtype=factor_compute_dtype,
                 conv_a_factor_method=conv_a_factor_method,
+                gram_method=gram_method,
                 init_fn=init_fn,
                 **(example_kwargs or {}),
             )
@@ -306,6 +313,7 @@ class KFACPreconditioner:
         self.grad_scale = grad_scale
         self.factor_dtype = factor_dtype
         self.factor_compute_dtype = factor_compute_dtype
+        self.gram_method = gram_method
         self.store_dtype = factor_dtype if factor_dtype is not None else (
             jnp.float32
         )
