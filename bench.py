@@ -233,6 +233,73 @@ def step_overhead(
     }
 
 
+def accum_overhead(
+    params: Any,
+    batch_stats: Any,
+    precond: Any,
+    loss_fn: Any,
+    x: jax.Array,
+    y: jax.Array,
+    n: int = 100,
+    repeats: int = 2,
+) -> dict[str, float]:
+    """Overhead at effective batch 256 via 2x128 gradient accumulation.
+
+    Per-chip batch 256 OOMs 16 GB HBM on the capture step
+    (docs/PERF_NOTES.md "remaining opportunities" #1), but the KAISA
+    regime's large effective batch is reachable EXACTLY via the
+    accumulation path (reference ``no_sync`` loop, ``kfac/layers/
+    base.py:338-405`` of gpauloski/kfac-pytorch): two 128-sample
+    microbatches per optimizer update, factors averaged across them.
+    SGD runs the identical microbatch loop, so the overhead isolates
+    K-FAC's cost at the doubled per-update compute -- the fixed
+    per-step costs (precondition + amortized refresh) divide by a ~2x
+    larger update, which is how production ImageNet runs execute.
+
+    ``x``/``y`` carry a leading ``accumulation_steps`` axis.
+    """
+    from kfac_pytorch_tpu.train import KFACTrainCarry
+    from kfac_pytorch_tpu.train import make_train_step
+
+    accum = precond.accumulation_steps
+    tx = optax.sgd(0.1, momentum=0.9)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def sgd_body(carry: Any, _: Any):
+        p, bn, o = carry
+        loss_sum, gacc = None, None
+        for i in range(accum):
+            (loss, bn), g = grad_fn(p, bn, x[i], y[i])
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            gacc = g if gacc is None else jax.tree.map(jnp.add, gacc, g)
+        grads = jax.tree.map(lambda t: t / accum, gacc)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), bn, o), loss_sum / accum
+
+    kstep = make_train_step(precond, loss_fn, tx, has_aux=True)
+
+    def kfac_body(carry: Any, _: Any):
+        return kstep(carry, (x, y))
+
+    _, t_sgd = _timed_scan(
+        sgd_body, (params, batch_stats, tx.init(params)), n, repeats,
+    )
+    _, t_kfac = _timed_scan(
+        kfac_body,
+        KFACTrainCarry(
+            params, tx.init(params), precond.init(), batch_stats,
+        ),
+        n,
+        repeats,
+    )
+    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    return {
+        'sgd_step_ms': round(t_sgd * 1e3, 3),
+        'kfac_step_ms': round(t_kfac * 1e3, 3),
+        'overhead_pct': round(overhead, 2),
+    }
+
+
 def late_regime_overhead(
     params: Any,
     batch_stats: Any,
@@ -557,6 +624,29 @@ def main() -> None:
     _, params, bn, precond, loss_fn, x, y = build_rn50()
     rn50 = step_overhead(params, bn, precond, loss_fn, x, y, repeats=5)
 
+    b256 = None
+    if '--b256' in sys.argv:
+        # Effective batch 256 as 2x128 accumulation (both loops run the
+        # identical microbatch schedule; see accum_overhead docstring).
+        from kfac_pytorch_tpu import KFACPreconditioner
+        from kfac_pytorch_tpu.models.imagenet_resnet import (
+            resnet50_imagenet,
+        )
+
+        accum = 2
+        xs = jax.random.normal(
+            jax.random.PRNGKey(3), (accum, 128, 224, 224, 3),
+        )
+        ys = jax.random.randint(
+            jax.random.PRNGKey(4), (accum, 128), 0, 1000,
+        )
+        model_a = resnet50_imagenet()
+        precond_a = KFACPreconditioner(
+            model_a, example_args=(xs[0],),
+            accumulation_steps=accum, **KFAC_KW,
+        )
+        b256 = accum_overhead(params, bn, precond_a, loss_fn, xs, ys)
+
     late = None
     if '--late' in sys.argv:
         # Late-training regime: the reference's examples decay the
@@ -598,6 +688,8 @@ def main() -> None:
     }
     if late is not None:
         detail['late_regime_fus100_ius1000'] = late
+    if b256 is not None:
+        detail['rn50_b256_accum2'] = b256
     if '--tta' in sys.argv:
         detail['time_to_accuracy'] = time_to_accuracy()
     result = {

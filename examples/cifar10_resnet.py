@@ -71,6 +71,13 @@ def parse_args() -> argparse.Namespace:
                    help='overrides --kfac-strategy when set')
     p.add_argument('--kfac-compute-eigenvalue-outer-product',
                    action='store_true', default=True)
+    p.add_argument('--kfac-conv-a-factor-method', type=str, default='auto',
+                   choices=['auto', 'patches', 'slices', 'convgrad',
+                            'rowgram', 'pallas'],
+                   help='conv A-factor algorithm (TPU perf knob)')
+    p.add_argument('--kfac-gram-method', type=str, default='full',
+                   choices=['full', 'tri', 'auto'],
+                   help='Gram contraction scheme for plain covariances')
     # Checkpointing (reference :313-317)
     p.add_argument('--checkpoint-dir', default=None)
     p.add_argument('--checkpoint-freq', type=int, default=10)

@@ -49,6 +49,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--kfac-kl-clip', type=float, default=0.001)
     p.add_argument('--kfac-worker-fraction', type=float, default=None)
     p.add_argument('--kfac-skip-layers', nargs='+', default=['lm_head'])
+    p.add_argument('--kfac-gram-method', type=str, default='full',
+                   choices=['full', 'tri', 'auto'],
+                   help='Gram contraction scheme for the covariances')
     return p.parse_args()
 
 
@@ -129,6 +132,7 @@ def main() -> None:
             lr=args.base_lr,
             skip_layers=args.kfac_skip_layers,
             sharding=sharding,
+            gram_method=args.kfac_gram_method,
         )
         print(f'KFAC registered {len(precond.specs)} layers:')
         for name in precond.specs:

@@ -63,6 +63,10 @@ def get_optimizer(
         grad_worker_fraction=args.kfac_worker_fraction,
         sharding=sharding,
         skip_layers=args.kfac_skip_layers,
+        conv_a_factor_method=getattr(
+            args, 'kfac_conv_a_factor_method', 'auto',
+        ),
+        gram_method=getattr(args, 'kfac_gram_method', 'full'),
     )
 
     # Epoch-boundary multiplicative schedules: damping and the update
