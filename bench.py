@@ -112,6 +112,71 @@ def build_rn50(batch: int = 128) -> tuple[Any, ...]:
     return model, params, batch_stats, precond, loss_fn, x, y
 
 
+def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
+    """K-FAC step overhead on a causal transformer LM (Dense layers).
+
+    The reference's third headline family (its LM example applies K-FAC
+    to the attention/FFN Linears, ``examples/torch_language_model.py:
+    246-262`` of gpauloski/kfac-pytorch; README cites BERT). A
+    BERT-base-ish slice: dim 512, 6 blocks, ffn 2048, seq 512, b32 --
+    fused-qkv attention + MLP Dense layers registered, embed/lm_head
+    skipped like the reference's example.
+    """
+    from kfac_pytorch_tpu import KFACPreconditioner
+    from kfac_pytorch_tpu.models.transformer import TransformerLM
+    from kfac_pytorch_tpu.train import KFACTrainCarry
+    from kfac_pytorch_tpu.train import make_train_step
+
+    vocab, seq, batch = 8192, 512, 32
+    model = TransformerLM(
+        vocab_size=vocab, dim=512, num_heads=8, num_layers=6,
+        ffn_dim=2048, max_len=seq,
+    )
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(0), (batch, seq + 1), 0, vocab,
+    )
+    x, y = tokens[:, :-1], tokens[:, 1:]
+    params = model.init(jax.random.PRNGKey(1), x)['params']
+
+    def loss_fn(p: Any, bx: jax.Array, by: jax.Array) -> jax.Array:
+        logits = model.apply({'params': p}, bx)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, by,
+        ).mean()
+
+    kw = dict(KFAC_KW)
+    kw['skip_layers'] = ['embed', 'lm_head']
+    precond = KFACPreconditioner(model, example_args=(x,), **kw)
+    tx = optax.sgd(0.1, momentum=0.9)
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def sgd_body(carry: Any, _: Any):
+        p, o = carry
+        loss, grads = grad_fn(p, x, y)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), loss
+
+    kstep = make_train_step(precond, loss_fn, tx)
+
+    def kfac_body(carry: Any, _: Any):
+        return kstep(carry, (x, y))
+
+    _, t_sgd = _timed_scan(sgd_body, (params, tx.init(params)), n, repeats)
+    _, t_kfac = _timed_scan(
+        kfac_body,
+        KFACTrainCarry(params, tx.init(params), precond.init(), None),
+        n,
+        repeats,
+    )
+    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    return {
+        'sgd_step_ms': round(t_sgd * 1e3, 3),
+        'kfac_step_ms': round(t_kfac * 1e3, 3),
+        'overhead_pct': round(overhead, 2),
+        'n_layers_registered': len(precond.specs),
+    }
+
+
 def _make_loss(model: Any) -> Any:
     def loss_fn(p: Any, bn: Any, bx: jax.Array, by: jax.Array):
         out, updates = model.apply(
@@ -690,6 +755,8 @@ def main() -> None:
         detail['late_regime_fus100_ius1000'] = late
     if b256 is not None:
         detail['rn50_b256_accum2'] = b256
+    if '--lm' in sys.argv:
+        detail['transformer_lm'] = lm_overhead()
     if '--tta' in sys.argv:
         detail['time_to_accuracy'] = time_to_accuracy()
     result = {
