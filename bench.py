@@ -168,7 +168,10 @@ def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
         n,
         repeats,
     )
-    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    # Signed: a negative value flags measurement noise / methodology
+    # bugs instead of silently reading as a perfect 0 (clamping
+    # happens only in the summary verdict).
+    overhead = (t_kfac / t_sgd - 1.0) * 100.0
     return {
         'sgd_step_ms': round(t_sgd * 1e3, 3),
         'kfac_step_ms': round(t_kfac * 1e3, 3),
@@ -290,7 +293,10 @@ def step_overhead(
         n,
         repeats,
     )
-    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    # Signed: a negative value flags measurement noise / methodology
+    # bugs instead of silently reading as a perfect 0 (clamping
+    # happens only in the summary verdict).
+    overhead = (t_kfac / t_sgd - 1.0) * 100.0
     return {
         'sgd_step_ms': round(t_sgd * 1e3, 3),
         'kfac_step_ms': round(t_kfac * 1e3, 3),
@@ -331,12 +337,25 @@ def accum_overhead(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def sgd_body(carry: Any, _: Any):
+        # The SGD baseline serializes its microbatches through the SAME
+        # lax.scan structure as the K-FAC path (make_train_step): an
+        # unrolled loop would let XLA overlap microbatch liveness (and
+        # OOM at larger accum), making the overhead comparison unfair
+        # in K-FAC's favor or infeasible.
         p, bn, o = carry
-        loss_sum, gacc = None, None
-        for i in range(accum):
-            (loss, bn), g = grad_fn(p, bn, x[i], y[i])
-            loss_sum = loss if loss_sum is None else loss_sum + loss
-            gacc = g if gacc is None else jax.tree.map(jnp.add, gacc, g)
+        (loss0, bn), g0 = grad_fn(p, bn, x[0], y[0])
+
+        def mb_body(acc: Any, mb: Any):
+            loss_sum, bn, gacc = acc
+            mx, my = mb
+            (loss, bn), g = grad_fn(p, bn, mx, my)
+            return (
+                loss_sum + loss, bn, jax.tree.map(jnp.add, gacc, g),
+            ), None
+
+        (loss_sum, bn, gacc), _ = jax.lax.scan(
+            mb_body, (loss0, bn, g0), (x[1:], y[1:]),
+        )
         grads = jax.tree.map(lambda t: t / accum, gacc)
         updates, o = tx.update(grads, o)
         return (optax.apply_updates(p, updates), bn, o), loss_sum / accum
@@ -357,7 +376,10 @@ def accum_overhead(
         n,
         repeats,
     )
-    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    # Signed: a negative value flags measurement noise / methodology
+    # bugs instead of silently reading as a perfect 0 (clamping
+    # happens only in the summary verdict).
+    overhead = (t_kfac / t_sgd - 1.0) * 100.0
     return {
         'sgd_step_ms': round(t_sgd * 1e3, 3),
         'kfac_step_ms': round(t_kfac * 1e3, 3),
@@ -422,7 +444,10 @@ def late_regime_overhead(
             params, tx.init(params), precond.init(), batch_stats,
         ),
     )
-    overhead = max((t_kfac / t_sgd - 1.0) * 100.0, 0.0)
+    # Signed: a negative value flags measurement noise / methodology
+    # bugs instead of silently reading as a perfect 0 (clamping
+    # happens only in the summary verdict).
+    overhead = (t_kfac / t_sgd - 1.0) * 100.0
     return {
         'sgd_step_ms': round(t_sgd * 1e3, 3),
         'kfac_step_ms': round(t_kfac * 1e3, 3),
@@ -755,13 +780,17 @@ def main() -> None:
         detail['late_regime_fus100_ius1000'] = late
     if b256 is not None:
         detail['rn50_b256_accum2'] = b256
-    if '--lm' in sys.argv:
+    # Transformer LM: the reference's third workload family
+    # (examples/torch_language_model.py) is a first-class number.
+    if '--no-lm' not in sys.argv:
         detail['transformer_lm'] = lm_overhead()
     if '--tta' in sys.argv:
         detail['time_to_accuracy'] = time_to_accuracy()
     result = {
         'metric': 'kfac_step_overhead_pct',
-        'value': round(overhead_pct, 2),
+        # Detail entries carry the signed overhead; the headline verdict
+        # clamps at 0 (negative = within measurement noise of free).
+        'value': round(max(overhead_pct, 0.0), 2),
         'unit': '%',
         'vs_baseline': round(10.0 / max(overhead_pct, 1e-6), 3),
         'detail': detail,

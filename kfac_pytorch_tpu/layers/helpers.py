@@ -53,10 +53,11 @@ class LayerHelper:
     # Gram contraction scheme for the plain (no patch extraction)
     # covariances -- Linear A/G, conv G, and the 1x1-conv A fast path:
     # 'full' (one dot_general), 'tri' (lower-block-triangle contraction,
-    # get_cov_blocked: 0.75x FLOPs at ~1.5x row-matrix reads), or 'auto'
-    # (tri for wide factors where the Gram is compute-bound, full for
-    # narrow/bandwidth-bound ones; threshold from the on-chip A/B sweep,
-    # docs/PERF_NOTES.md).
+    # get_cov_blocked: 0.75x FLOPs at ~1.5x row-matrix reads), or 'auto'.
+    # The on-chip tri-vs-full A/B (docs/PERF_NOTES.md) is erratic -- tri
+    # can be several-x slower at large d depending on XLA's fusion choice
+    # -- so 'auto' resolves to 'full' until a stable on-chip threshold is
+    # measured; 'tri' remains opt-in.
     gram_method: str = 'full'
 
     def _gram(
@@ -66,7 +67,7 @@ class LayerHelper:
     ) -> jax.Array:
         method = self.gram_method
         if method == 'auto':
-            method = 'tri' if p.shape[-1] >= 512 else 'full'
+            method = 'full'
         if method == 'tri':
             return get_cov_blocked(p, scale=scale)
         return get_cov(p, scale=scale)

@@ -28,6 +28,7 @@ Distribution model (KAISA semantics, SPMD expression):
 from __future__ import annotations
 
 import logging
+import warnings
 from collections.abc import Callable, Mapping, Sequence
 from dataclasses import dataclass
 from typing import Any
@@ -55,6 +56,7 @@ from kfac_pytorch_tpu.state import KFACState
 from kfac_pytorch_tpu.utils.tree import get_subtree
 from kfac_pytorch_tpu.utils.tree import params_root
 from kfac_pytorch_tpu.utils.tree import set_subtree
+from kfac_pytorch_tpu.warnings import ExperimentalFeatureWarning
 
 logger = logging.getLogger(__name__)
 
@@ -230,6 +232,14 @@ class KFACPreconditioner:
                 f"'slices', 'convgrad', 'rowgram', 'pallas'; got "
                 f'{conv_a_factor_method!r}',
             )
+        if conv_a_factor_method == 'pallas':
+            warnings.warn(
+                "conv_a_factor_method='pallas' is measurably slower than "
+                "the default in-graph on current Mosaic (docs/PERF_NOTES"
+                '.md "Capture A/B"); kept for kernel development only',
+                ExperimentalFeatureWarning,
+                stacklevel=2,
+            )
         if gram_method not in ('full', 'tri', 'auto'):
             raise ValueError(
                 "gram_method must be one of 'full', 'tri', 'auto'; "
@@ -305,6 +315,14 @@ class KFACPreconditioner:
             raise ValueError(
                 "refine_precision must be 'highest', 'high', or "
                 f"'mixed'; got {refine_precision!r}",
+            )
+        if refine_precision == 'mixed':
+            warnings.warn(
+                "refine_precision='mixed' applies eigenbasis rotations in "
+                'a single bf16 pass; validated on CIFAR/ImageNet ResNet '
+                'spectra only (docs/PERF_NOTES.md)',
+                ExperimentalFeatureWarning,
+                stacklevel=2,
             )
         self.refine_precision = refine_precision
         self.grad_worker_fraction = grad_worker_fraction
@@ -412,6 +430,17 @@ class KFACPreconditioner:
         for bucket in self._plan:
             for i, spec in enumerate(bucket.specs):
                 self._slot[spec.name] = (bucket.key, i)
+        # Log the materialized work-assignment table, mirroring the
+        # reference's init-time assignment log
+        # (kfac/preconditioner.py:292-300 of gpauloski/kfac-pytorch).
+        if sharding is not None and sharding.world_size > 1:
+            assign = self.assignment()
+            for layer in assign.get_layers():
+                owners = {
+                    factor: assign.inv_worker(layer, factor)
+                    for factor in assign.get_factors(layer)
+                }
+                logger.log(loglevel, f'Assignment "{layer}": {owners}')
         self._paths: dict[str, tuple[str, ...]] = {
             name: tuple(name.split('/')) for name in self._specs
         }
@@ -492,17 +521,32 @@ class KFACPreconditioner:
 
     def memory_usage(self, state: KFACState) -> dict[str, int]:
         """Approximate bytes per category, mirroring the reference's
-        ``memory_usage`` (``base_preconditioner.py:389-409``)."""
+        ``memory_usage`` (``base_preconditioner.py:389-409``).
+
+        ``a_batches``/``g_batches`` report the working memory of one
+        capture (the per-layer batch covariances carried between
+        ``value_and_grad`` and ``step``) -- the analogue of the
+        reference's batch accumulator lists. Unlike the reference they
+        are transient within a jitted step, so this is a peak-usage
+        estimate, not a persistent allocation.
+        """
         sizes = {
             'a_factors': 0,
             'g_factors': 0,
             'a_inverses': 0,
             'g_inverses': 0,
+            'a_batches': 0,
+            'g_batches': 0,
         }
 
         def nbytes(x: jax.Array | None) -> int:
             return 0 if x is None else x.size * x.dtype.itemsize
 
+        itemsize = jnp.dtype(jnp.float32).itemsize
+        for spec in self._specs.values():
+            da, dg = spec.a_shape[0], spec.g_shape[0]
+            sizes['a_batches'] += da * da * itemsize
+            sizes['g_batches'] += dg * dg * itemsize
         for cf in state.factors.values():
             sizes['a_factors'] += nbytes(cf.a)
             sizes['g_factors'] += nbytes(cf.g)

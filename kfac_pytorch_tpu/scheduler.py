@@ -12,7 +12,8 @@ the mutation actually reaches the compiled function.
 One structural caveat: a step function compiled while an update interval
 (``factor_update_steps`` / ``inv_update_steps``) is the literal constant 1
 specializes away the interval gate entirely; scheduling that interval
-upward later requires rebuilding the step (see
+upward later could never take effect, so ``__init__`` rejects interval
+lambdas on literal-1 intervals loudly (see
 ``KFACPreconditioner._static_one``).
 """
 
@@ -85,6 +86,24 @@ class LambdaParamScheduler:
                 raise ValueError(
                     'kl_clip_lambda given but the preconditioner was '
                     'constructed with kl_clip=None',
+                )
+            if (
+                field in ('factor_update_steps', 'inv_update_steps')
+                and preconditioner._static_one(field)
+            ):
+                # A step compiled with the interval as the literal 1
+                # specializes the gate away entirely: scheduling the
+                # interval upward later would silently keep every-step
+                # updates. The reference mutates the field dynamically
+                # (kfac/scheduler.py:119-167); here the caller must
+                # construct the preconditioner with a non-1 interval (or
+                # a traced initial value) to keep the gate compiled in.
+                raise ValueError(
+                    f'{field}_lambda given but the preconditioner was '
+                    f'constructed with {field}=1: the compiled step '
+                    'specializes away the interval gate and can never '
+                    f'honor the schedule. Construct with {field} > 1 '
+                    '(the scheduler can still scale it down to 1).',
                 )
 
     def step(

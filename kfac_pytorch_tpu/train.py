@@ -77,6 +77,18 @@ def make_train_step(
         batch: tuple[Any, ...],
     ) -> tuple[KFACTrainCarry, jax.Array]:
         state = carry.kfac_state
+        if accum > 1:
+            # The microbatch loop divides by accumulation_steps; a batch
+            # leaf whose leading axis disagrees would silently mis-scale
+            # the averages, so fail at trace time instead.
+            for leaf in jax.tree.leaves(batch):
+                if leaf.shape[0] != accum:
+                    raise ValueError(
+                        f'with accumulation_steps={accum} every batch '
+                        'leaf must carry a leading microbatch axis of '
+                        f'that size; got leading axis {leaf.shape[0]} '
+                        f'on a leaf of shape {leaf.shape}',
+                    )
         args = ((carry.extra,) if has_aux else ()) + tuple(batch)
         decay = precond._hp(state, 'factor_decay')
 

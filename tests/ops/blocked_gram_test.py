@@ -101,8 +101,9 @@ def test_conv_helper_tri() -> None:
 
 
 def test_auto_threshold_uses_tri_for_wide_factors() -> None:
-    # 'auto' must stay numerically exact on wide factors too (where it
-    # actually switches to the blocked contraction).
+    # 'auto' currently resolves to 'full' (the on-chip tri-vs-full A/B
+    # is erratic; see LayerHelper.gram_method) but must stay numerically
+    # exact on wide factors either way.
     rng = np.random.default_rng(4)
     a = jnp.asarray(rng.standard_normal((64, 600)), jnp.float32)
     h_auto = LinearHelper(

@@ -212,6 +212,10 @@ def test_memory_usage() -> None:
     mem = precond.memory_usage(state)
     assert mem['a_factors'] > 0
     assert mem['g_factors'] > 0
+    # Batch working-memory categories (reference
+    # base_preconditioner.py:389-409 reports a_batches/g_batches too).
+    assert mem['a_batches'] > 0
+    assert mem['g_batches'] > 0
     assert mem['total'] == sum(v for k, v in mem.items() if k != 'total')
 
 

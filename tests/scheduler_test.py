@@ -66,6 +66,30 @@ def test_scheduler_rejects_callable_params() -> None:
         LambdaParamScheduler(precond, damping_lambda=lambda s: 0.5)
 
 
+def test_scheduler_rejects_literal_one_interval() -> None:
+    # A step compiled with factor_update_steps=1 specializes away the
+    # interval gate; scheduling it upward could never take effect, so
+    # the scheduler must fail loudly at construction.
+    precond = _precond(factor_update_steps=1, inv_update_steps=8)
+    with pytest.raises(ValueError, match='factor_update_steps=1'):
+        LambdaParamScheduler(
+            precond, factor_update_steps_lambda=lambda s: 10,
+        )
+    precond = _precond(factor_update_steps=2, inv_update_steps=1)
+    with pytest.raises(ValueError, match='inv_update_steps=1'):
+        LambdaParamScheduler(precond, inv_update_steps_lambda=lambda s: 10)
+    # Non-interval lambdas stay allowed alongside literal-1 intervals.
+    precond = _precond(factor_update_steps=1, inv_update_steps=1)
+    LambdaParamScheduler(precond, damping_lambda=lambda s: 0.5)
+    # And intervals > 1 can still be scheduled (downward to 1 included).
+    precond = _precond(factor_update_steps=10, inv_update_steps=10)
+    sched = LambdaParamScheduler(
+        precond, factor_update_steps_lambda=lambda s: 0.1,
+    )
+    state = sched.step(precond.init())
+    assert int(state.hyperparams['factor_update_steps']) == 1
+
+
 def test_scheduler_step_override() -> None:
     precond = _precond(lr=1.0)
     state = precond.init()
