@@ -30,6 +30,9 @@ from kfac_pytorch_tpu.enums import DistributedStrategy as DistributedStrategy
 from kfac_pytorch_tpu.checkpoint import restore_kfac_state as restore_kfac_state
 from kfac_pytorch_tpu.checkpoint import save_kfac_state as save_kfac_state
 from kfac_pytorch_tpu.optim import kfac_transform as kfac_transform
+from kfac_pytorch_tpu.parallel.pipe_precond import (
+    PipelineKFACPreconditioner as PipelineKFACPreconditioner,
+)
 from kfac_pytorch_tpu.preconditioner import KFACPreconditioner as KFACPreconditioner
 from kfac_pytorch_tpu.state import KFACState as KFACState
 

@@ -46,6 +46,11 @@ class LayerSpec:
     module_type: str  # member of KNOWN_MODULES
     helper: LayerHelper
     n_calls: int = 1  # times the module is invoked per forward pass
+    # Tensor-parallel layout of the layer's kernel over the 'model' mesh
+    # axis: None (replicated), 'column' (output dim sharded), or 'row'
+    # (input dim sharded). Mirrors the reference's Column/RowParallel
+    # registration (kfac/gpt_neox/preconditioner.py:450-515).
+    tp: str | None = None
 
     @property
     def a_shape(self) -> tuple[int, int]:
@@ -92,10 +97,19 @@ def get_module_helper(
     Counterpart of reference ``kfac/layers/register.py:36-43``. Supported
     types: ``nn.Dense`` ('linear') and 2D ``nn.Conv`` ('conv2d').
     """
-    if isinstance(module, nn.Dense):
+    from kfac_pytorch_tpu.layers.tp import ColumnParallelDense
+    from kfac_pytorch_tpu.layers.tp import RowParallelDense
+
+    if isinstance(module, (nn.Dense, ColumnParallelDense, RowParallelDense)):
         return (
             'linear',
             LinearHelper(
+                # TP modules declare GLOBAL param shapes, and their
+                # inputs/outputs are full-width at the capture points
+                # (gathered pre-activation / psum'd partials), so the
+                # factor dims are the logical dims either way -- the
+                # reference instead scales sharded dims by the TP world
+                # size (kfac/gpt_neox/modules.py:42-62).
                 in_features=int(input_shape[-1]),
                 out_features=int(module.features),
                 has_bias=bool(module.use_bias),
@@ -195,11 +209,20 @@ def register_modules(
                     n_calls=counts[name],
                 )
             else:
+                from kfac_pytorch_tpu.layers.tp import ColumnParallelDense
+                from kfac_pytorch_tpu.layers.tp import RowParallelDense
+
+                tp = None
+                if isinstance(module, ColumnParallelDense):
+                    tp = 'column'
+                elif isinstance(module, RowParallelDense):
+                    tp = 'row'
                 counts[name] = 1
                 specs[name] = LayerSpec(
                     name=name,
                     module_type=module_type,
                     helper=helper,
+                    tp=tp,
                 )
         return next_fun(*args, **kwargs)
 

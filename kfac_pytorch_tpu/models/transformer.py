@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['TransformerLM', 'TransformerBlock', 'sinusoidal_positions']
+__all__ = [
+    'TransformerLM',
+    'TransformerBlock',
+    'PipelineTransformerStage',
+    'sinusoidal_positions',
+]
 
 
 def sinusoidal_positions(max_len: int, dim: int) -> np.ndarray:
@@ -78,6 +83,57 @@ class TransformerBlock(nn.Module):
         h = nn.Dense(self.ffn_dim, dtype=self.dtype, name='ffn_in')(y)
         h = nn.gelu(h)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name='ffn_out')(h)
+        return x
+
+
+class PipelineTransformerStage(nn.Module):
+    """One causal transformer block as a shape-preserving pipeline stage.
+
+    The GPT-NeoX model family of the reference's pipelined preconditioner
+    (``kfac/gpt_neox/preconditioner.py:40-515`` of gpauloski/kfac-pytorch),
+    expressed as a user flax module for
+    :class:`~kfac_pytorch_tpu.parallel.pipe_precond.PipelineKFACPreconditioner`:
+    fused-qkv and ffn_in are :class:`ColumnParallelDense` (kernels
+    column-sharded over the ``model`` mesh axis, pre-activations
+    gathered); attn_out and ffn_out are :class:`RowParallelDense`
+    (kernels row-sharded, partials psum'd) -- the Megatron layout the
+    reference registers as Column/RowParallelLinear. Outside a mapped
+    context the same module computes identical full-width math, so the
+    unpipelined equivalence is exact by construction.
+
+    Input/output: ``[mb, T, dim]``.
+    """
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from kfac_pytorch_tpu.layers.tp import ColumnParallelDense
+        from kfac_pytorch_tpu.layers.tp import RowParallelDense
+
+        mb, seq, dim = x.shape
+        head_dim = self.dim // self.num_heads
+        mask = jnp.tril(jnp.ones((seq, seq), bool))[None, None]
+
+        y = nn.LayerNorm()(x)
+        qkv = ColumnParallelDense(3 * self.dim, name='qkv')(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t: jax.Array) -> jax.Array:
+            return t.reshape(mb, seq, self.num_heads, head_dim)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k) / np.sqrt(head_dim)
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum('bhqk,bkhd->bqhd', probs, v).reshape(x.shape)
+        x = x + RowParallelDense(self.dim, name='attn_out')(out)
+
+        y = nn.LayerNorm()(x)
+        h = nn.gelu(ColumnParallelDense(self.ffn_dim, name='ffn_in')(y))
+        x = x + RowParallelDense(self.dim, name='ffn_out')(h)
         return x
 
 

@@ -25,6 +25,12 @@ from kfac_pytorch_tpu.parallel.pipe_transformer import (
 from kfac_pytorch_tpu.parallel.pipe_transformer import (
     transformer_pipeline_capture as transformer_pipeline_capture,
 )
+from kfac_pytorch_tpu.parallel.pipe_precond import (
+    make_pipeline_train_step as make_pipeline_train_step,
+)
+from kfac_pytorch_tpu.parallel.pipe_precond import (
+    PipelineKFACPreconditioner as PipelineKFACPreconditioner,
+)
 from kfac_pytorch_tpu.parallel.pipeline import (
     PipelineAssignment as PipelineAssignment,
 )

@@ -721,6 +721,37 @@ class KFACPreconditioner:
             )
         return out
 
+    def _stack_bucket_factor(
+        self,
+        bucket: Bucket,
+        factors: dict[str, CapturedFactors],
+        attr: str,
+        dim: int,
+    ) -> jax.Array:
+        """Stack (and pad) per-layer running factors into the bucket's
+        block batch; the 'factors' constraint shards the blocks over the
+        mesh so each device decomposes only its assigned blocks
+        (owner-computes). pad_blocks identity blocks keep the count
+        mesh-divisible (see Bucket). Overridden by the pipelined engine
+        to fold the stage axis in stage-major order.
+        """
+        blocks = [
+            _pad_factor(getattr(factors[s.name], attr), dim)
+            for s in bucket.specs
+        ]
+        stacked = jnp.stack(blocks)
+        if bucket.pad_blocks:
+            stacked = jnp.concatenate(
+                [
+                    stacked,
+                    jnp.broadcast_to(
+                        jnp.eye(dim, dtype=stacked.dtype),
+                        (bucket.pad_blocks, dim, dim),
+                    ),
+                ],
+            )
+        return self._constrain(stacked, 'factors')
+
     def _compute_second_order(
         self,
         buckets: dict[str, BucketState],
@@ -733,31 +764,12 @@ class KFACPreconditioner:
         so = lambda x: self._constrain(x, 'second_order')  # noqa: E731
         for bucket in self._plan:
             bs = buckets[bucket.key]
-            # Stack (and pad) the per-layer running factors into the
-            # bucket's block batch; the 'factors' constraint shards the
-            # blocks over the mesh so each device decomposes only its
-            # assigned blocks (owner-computes). pad_blocks identity
-            # blocks keep the count mesh-divisible (see Bucket).
-            def _stacked(attr: str, dim: int) -> jax.Array:
-                blocks = [
-                    _pad_factor(getattr(factors[s.name], attr), dim)
-                    for s in bucket.specs
-                ]
-                stacked = jnp.stack(blocks)
-                if bucket.pad_blocks:
-                    stacked = jnp.concatenate(
-                        [
-                            stacked,
-                            jnp.broadcast_to(
-                                jnp.eye(dim, dtype=stacked.dtype),
-                                (bucket.pad_blocks, dim, dim),
-                            ),
-                        ],
-                    )
-                return self._constrain(stacked, 'factors')
-
-            a_stacked = _stacked('a', bucket.a_dim)
-            g_stacked = _stacked('g', bucket.g_dim)
+            a_stacked = self._stack_bucket_factor(
+                bucket, factors, 'a', bucket.a_dim,
+            )
+            g_stacked = self._stack_bucket_factor(
+                bucket, factors, 'g', bucket.g_dim,
+            )
             if self.compute_method == ComputeMethod.EIGEN:
                 if solver == 'refine':
                     # Warm-started matmul-only refresh (ops/refine.py):
@@ -840,6 +852,59 @@ class KFACPreconditioner:
             pg = jnp.einsum('bik,bkl->bil', pg, bs.g_inv, **kw)
         return pg
 
+    def _grad_mats_for_bucket(
+        self,
+        bucket: Bucket,
+        root: Any,
+    ) -> jax.Array:
+        """Stack the bucket layers' gradient matrices ``[B, a_dim, g_dim]``.
+
+        Overridden by the pipelined engine (stage axis folded stage-major).
+        """
+        grad_mats = jnp.stack(
+            [
+                _pad_grad(
+                    spec.helper.get_grad_t(
+                        get_subtree(root, self._paths[spec.name]),
+                    ),
+                    bucket.a_dim,
+                    bucket.g_dim,
+                )
+                for spec in bucket.specs
+            ],
+        )
+        if bucket.pad_blocks:
+            # Virtual blocks carry zero gradients: preconditioning
+            # and the KL-clip inner product are unaffected.
+            grad_mats = jnp.concatenate(
+                [
+                    grad_mats,
+                    jnp.zeros(
+                        (bucket.pad_blocks,) + grad_mats.shape[1:],
+                        grad_mats.dtype,
+                    ),
+                ],
+            )
+        return grad_mats
+
+    def _write_bucket_grads(
+        self,
+        bucket: Bucket,
+        root: Any,
+        pg: jax.Array,
+    ) -> Any:
+        """Write a bucket's preconditioned stack back into the grad tree."""
+        for i, spec in enumerate(bucket.specs):
+            path = self._paths[spec.name]
+            sub = get_subtree(root, path)
+            da, dg = spec.a_shape[0], spec.g_shape[0]
+            root = set_subtree(
+                root,
+                path,
+                spec.helper.set_grad_t(sub, pg[i, :da, :dg]),
+            )
+        return root
+
     def step(
         self,
         state: KFACState,
@@ -911,30 +976,7 @@ class KFACPreconditioner:
         pg_by_bucket: dict[str, jax.Array] = {}
         gm_dtypes: dict[str, Any] = {}
         for bucket in self._plan:
-            grad_mats = jnp.stack(
-                [
-                    _pad_grad(
-                        spec.helper.get_grad_t(
-                            get_subtree(root, self._paths[spec.name]),
-                        ),
-                        bucket.a_dim,
-                        bucket.g_dim,
-                    )
-                    for spec in bucket.specs
-                ],
-            )
-            if bucket.pad_blocks:
-                # Virtual blocks carry zero gradients: preconditioning
-                # and the KL-clip inner product are unaffected.
-                grad_mats = jnp.concatenate(
-                    [
-                        grad_mats,
-                        jnp.zeros(
-                            (bucket.pad_blocks,) + grad_mats.shape[1:],
-                            grad_mats.dtype,
-                        ),
-                    ],
-                )
+            grad_mats = self._grad_mats_for_bucket(bucket, root)
             bs = state.buckets[bucket.key]
             pg = self._precondition_bucket(bucket, bs, grad_mats, damping)
             pg = self._constrain(pg, 'precond_grad')
@@ -959,15 +1001,7 @@ class KFACPreconditioner:
             if scale is not None:
                 pg = pg * scale
             pg = pg.astype(gm_dtypes[bucket.key])
-            for i, spec in enumerate(bucket.specs):
-                path = self._paths[spec.name]
-                sub = get_subtree(root, path)
-                da, dg = spec.a_shape[0], spec.g_shape[0]
-                root = set_subtree(
-                    root,
-                    path,
-                    spec.helper.set_grad_t(sub, pg[i, :da, :dg]),
-                )
+            root = self._write_bucket_grads(bucket, root, pg)
 
         if (
             root is not grads
