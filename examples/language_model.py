@@ -82,6 +82,9 @@ def main() -> None:
     from kfac_pytorch_tpu.parallel import kaisa_mesh, KAISASharding
     from jax.sharding import NamedSharding
 
+    from examples.utils import maybe_init_distributed
+
+    maybe_init_distributed()
     args = parse_args()
     rng = np.random.default_rng(args.seed)
     stream = token_stream(args)
@@ -168,7 +171,9 @@ def main() -> None:
         return loss_fn(params, bx, by)
 
     def put(a):
-        return jax.device_put(a, data_sharding) if data_sharding else a
+        from examples.utils import shard_batch
+
+        return shard_batch(a, data_sharding)
 
     step = 0
     for epoch in range(args.epochs):

@@ -17,6 +17,7 @@ import optax
 
 __all__ = [
     'maybe_init_distributed',
+    'shard_batch',
     'Metric',
     'label_smooth_loss',
     'create_lr_schedule',
@@ -95,6 +96,23 @@ def maybe_init_distributed() -> None:
             jax.distributed.initialize()
         except (RuntimeError, ValueError):
             pass  # already initialized or single-process
+
+
+def shard_batch(array: Any, data_sharding: Any) -> Any:
+    """Place a host batch onto the mesh, multi-host safe.
+
+    Single-process: a plain sharded ``device_put``. Multi-host (DCN):
+    each process holds only ITS shard of the global batch, so the global
+    array is assembled with ``jax.make_array_from_process_local_data``
+    (the data-feeding counterpart of the reference's per-rank
+    ``DistributedSampler``, ``examples/vision/datasets.py:19-153`` of
+    gpauloski/kfac-pytorch).
+    """
+    if data_sharding is None:
+        return array
+    if jax.process_count() == 1:
+        return jax.device_put(array, data_sharding)
+    return jax.make_array_from_process_local_data(data_sharding, array)
 
 
 class Metric:

@@ -150,9 +150,9 @@ class Trainer:
         )
 
     def _put(self, x: Any) -> Any:
-        if self.data_sharding is not None:
-            return jax.device_put(x, self.data_sharding)
-        return x
+        from examples.utils import shard_batch
+
+        return shard_batch(x, self.data_sharding)
 
     def train_epoch(
         self,

@@ -44,7 +44,56 @@ from jax.sharding import PartitionSpec as P
 
 from kfac_pytorch_tpu.enums import DistributedStrategy
 
-__all__ = ['resolve_grad_workers', 'kaisa_mesh', 'KAISASharding']
+__all__ = [
+    'resolve_grad_workers',
+    'order_devices_dcn',
+    'kaisa_mesh',
+    'KAISASharding',
+]
+
+
+def order_devices_dcn(devices: Any, cols: int) -> list[Any]:
+    """Order devices host-major so ``kfac_col`` groups stay intra-host.
+
+    On a multi-host (DCN-connected) deployment the per-step collective is
+    the gradient gather over the ``kfac_col`` axis ('precond_grad' stage:
+    second-order state is column-sharded, gradients re-replicate);
+    keeping each row's ``cols`` consecutive devices on ONE host routes
+    that gather over ICI instead of DCN. The rarer inverse broadcast
+    (row axis, once per ``inv_update_steps``) takes the DCN hops.
+
+    Contract (pinned by tests): devices are sorted by
+    ``(process_index, id)``; when ``cols`` divides the per-host device
+    count, every row-major group of ``cols`` consecutive devices shares
+    a single ``process_index``. The reference analogue is the
+    per-node torchrun rendezvous ordering of
+    ``scripts/run_imagenet.sh:35-77`` (gpauloski/kfac-pytorch).
+    """
+    ordered = sorted(
+        devices,
+        key=lambda d: (
+            getattr(d, 'process_index', 0),
+            getattr(d, 'id', 0),
+        ),
+    )
+    counts: dict[int, int] = {}
+    for d in ordered:
+        p = getattr(d, 'process_index', 0)
+        counts[p] = counts.get(p, 0) + 1
+    per_host = set(counts.values())
+    if len(counts) > 1 and (
+        len(per_host) != 1 or next(iter(per_host)) % cols != 0
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            'kfac_col groups of %d devices cannot all stay intra-host '
+            '(per-host device counts %s): the per-step gradient gather '
+            'will cross DCN',
+            cols,
+            counts,
+        )
+    return ordered
 
 
 def resolve_grad_workers(
@@ -94,6 +143,7 @@ def kaisa_mesh(
     ),
     devices: Any = None,
     model_axis_size: int = 1,
+    dcn_aware: bool = True,
 ) -> Mesh:
     """Build the (kfac_row x kfac_col [x model]) KAISA mesh.
 
@@ -119,8 +169,14 @@ def kaisa_mesh(
         )
     data_world = world // model_axis_size
     workers = resolve_grad_workers(data_world, grad_worker_fraction)
+    cols = data_world // workers
+    if dcn_aware:
+        # Multi-host: host-major device order keeps each kfac_col group
+        # (the per-step gradient-gather group) on one host's ICI where
+        # the per-host device count allows (see order_devices_dcn).
+        devices = order_devices_dcn(list(devices), cols * model_axis_size)
     grid = np.asarray(devices).reshape(
-        workers, data_world // workers, model_axis_size,
+        workers, cols, model_axis_size,
     )
     if model_axis_size == 1:
         return Mesh(grid[:, :, 0], ('kfac_row', 'kfac_col'))

@@ -233,6 +233,41 @@ def test_3d_training_loss_decreases_with_refine() -> None:
     assert losses[-1] < losses[0], losses
 
 
+def test_transformer_state_dict_and_checkpoint_roundtrip(tmp_path) -> None:
+    """Heterogeneous (4 factor dims) stage state round-trips through
+    state_dict and Orbax (reference factor_checkpoint_dir contract,
+    kfac/gpt_neox/preconditioner.py:352-447)."""
+    from kfac_pytorch_tpu.checkpoint import restore_kfac_state
+    from kfac_pytorch_tpu.checkpoint import save_kfac_state
+
+    mesh = _mesh3d()
+    precond = _make(mesh, damping=0.01)
+    params = precond.init_params(jax.random.PRNGKey(3))
+    x, y = _data()
+    state = precond.init()
+    (_, _), grads, cap = jax.jit(precond.value_and_grad())(params, x, y)
+    _, state = jax.jit(precond.step)(state, grads, cap)
+
+    sd = precond.state_dict(state)
+    restored = precond.load_state_dict(sd)
+    for name in precond.specs:
+        np.testing.assert_allclose(
+            np.asarray(restored.factors[name].a),
+            np.asarray(state.factors[name].a),
+            rtol=1e-6,
+        )
+
+    path = tmp_path / 'ckpt'
+    save_kfac_state(str(path), state)
+    restored = restore_kfac_state(str(path), precond)
+    np.testing.assert_allclose(
+        np.asarray(restored.factors['qkv'].g),
+        np.asarray(state.factors['qkv'].g),
+        rtol=1e-7,
+    )
+    assert int(restored.steps) == 1
+
+
 def test_tp_kernels_are_model_sharded() -> None:
     mesh = _mesh3d()
     precond = _make(mesh)

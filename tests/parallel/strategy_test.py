@@ -50,6 +50,41 @@ def test_resolve_grad_workers() -> None:
         resolve_grad_workers(8, 0.4)
 
 
+def test_dcn_device_order_contract() -> None:
+    """order_devices_dcn pins the multi-host ordering contract: devices
+    sorted (process_index, id); when cols divides the per-host count,
+    each row-major group of cols devices shares one host."""
+    import dataclasses
+
+    from kfac_pytorch_tpu.parallel.strategy import order_devices_dcn
+
+    @dataclasses.dataclass(frozen=True)
+    class FakeDevice:
+        id: int
+        process_index: int
+
+    # 4 hosts x 4 devices, deliberately interleaved + shuffled input.
+    devices = [FakeDevice(id=i, process_index=i % 4) for i in range(16)]
+    import random
+
+    random.Random(0).shuffle(devices)
+    for cols in (2, 4):
+        ordered = order_devices_dcn(devices, cols)
+        assert len(ordered) == 16
+        # Host-major, id-minor.
+        keys = [(d.process_index, d.id) for d in ordered]
+        assert keys == sorted(keys)
+        # Every consecutive group of `cols` devices is intra-host.
+        for r in range(16 // cols):
+            hosts = {d.process_index for d in ordered[r * cols:(r + 1) * cols]}
+            assert len(hosts) == 1, (cols, r, hosts)
+    # cols=8 > per-host count 4: groups necessarily cross hosts; the
+    # function still orders deterministically (and warns).
+    ordered = order_devices_dcn(devices, 8)
+    keys = [(d.process_index, d.id) for d in ordered]
+    assert keys == sorted(keys)
+
+
 def test_kaisa_mesh_shapes() -> None:
     mesh = kaisa_mesh(0.5)
     assert mesh.shape['kfac_row'] == 4
