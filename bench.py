@@ -180,6 +180,142 @@ def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
     }
 
 
+_PIPELINE_CHILD = '--_pipeline-child'
+
+
+def _pipeline_child_main() -> None:
+    """Child-process body for the pipelined overhead metric.
+
+    Runs on a virtual 8-device CPU mesh (the real backend here is one
+    chip): pipelined K-FAC train step (PipelineKFACPreconditioner,
+    interval-gated capture + warm refine) vs the pipelined plain-SGD
+    step built from the SAME GPipe schedule. Relative numbers only --
+    CPU-mesh wall times do not transfer to TPU, but the ratio bounds the
+    K-FAC work added per pipelined step.
+    """
+    # The environment pins JAX_PLATFORMS to the TPU backend via
+    # sitecustomize; the in-process config update (before first backend
+    # use) is the only override that works here.
+    jax.config.update('jax_platforms', 'cpu')
+
+    import flax.linen as nn
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from kfac_pytorch_tpu.parallel.pipe_precond import (
+        make_pipeline_train_step,
+        PipelineKFACPreconditioner,
+    )
+
+    class Stage(nn.Module):
+        width: int
+
+        @nn.compact
+        def __call__(self, h: jax.Array) -> jax.Array:
+            h = nn.relu(nn.Dense(self.width)(h))
+            return nn.relu(nn.Dense(self.width)(h))
+
+    width, micro, batch = 64, 4, 128
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2), ('pipe', 'data'),
+    )
+
+    def loss_fn(out: jax.Array, y: jax.Array) -> jax.Array:
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out.astype(jnp.float32), y,
+        ).mean()
+
+    precond = PipelineKFACPreconditioner(
+        Stage(width),
+        mesh=mesh,
+        n_microbatches=micro,
+        loss_fn=loss_fn,
+        example_args=(jnp.zeros((batch // (2 * micro), width)),),
+        factor_update_steps=10,
+        inv_update_steps=100,
+        eigensolver='refine',
+        refine_precision='high',
+    )
+    params = precond.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, width))
+    y = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, width)
+    tx = optax.sgd(0.1, momentum=0.9)
+
+    kstep = make_pipeline_train_step(precond, tx)
+
+    def kfac_body(carry: Any, _: Any):
+        return kstep(carry, (x, y))
+
+    plain = precond.plain_value_and_grad()
+
+    def sgd_body(carry: Any, _: Any):
+        p, o = carry
+        loss, grads = plain(p, x, y)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), loss
+
+    n = 100
+
+    def run(body: Any, carry: Any) -> float:
+        @jax.jit
+        def scan(c: Any) -> Any:
+            return jax.lax.scan(body, c, xs=None, length=n)
+
+        out = jax.block_until_ready(scan(carry))
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(scan(out[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best / n
+
+    t_sgd = run(sgd_body, (params, tx.init(params)))
+    t_kfac = run(kfac_body, (params, tx.init(params), precond.init()))
+    print(json.dumps({
+        'sgd_step_ms': round(t_sgd * 1e3, 3),
+        'kfac_step_ms': round(t_kfac * 1e3, 3),
+        'overhead_pct': round((t_kfac / t_sgd - 1.0) * 100.0, 2),
+        'mesh': 'pipe4 x data2 (virtual CPU)',
+        'model': f'4-stage MLP width {width}, {micro} microbatches',
+    }))
+
+
+def pipeline_overhead() -> dict[str, Any] | None:
+    """Pipelined K-FAC overhead on a virtual 8-device CPU mesh.
+
+    The chip under the driver is single-device, so the pipelined regime
+    (the reference's GPT-NeoX deployment) is measured in a subprocess on
+    the 8-device CPU mesh -- relative overhead only.
+    """
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (
+        env.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, _PIPELINE_CHILD],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            return {
+                'error': 'no output',
+                'stderr_tail': out.stderr.strip().splitlines()[-3:],
+            }
+        return json.loads(lines[-1])
+    except Exception as exc:  # noqa: BLE001 - bench must not die here
+        return {'error': f'{type(exc).__name__}: {exc}'}
+
+
 def _make_loss(model: Any) -> Any:
     def loss_fn(p: Any, bn: Any, bx: jax.Array, by: jax.Array):
         out, updates = model.apply(
@@ -784,6 +920,11 @@ def main() -> None:
     # (examples/torch_language_model.py) is a first-class number.
     if '--no-lm' not in sys.argv:
         detail['transformer_lm'] = lm_overhead()
+    # Pipelined regime (the reference's GPT-NeoX deployment): relative
+    # overhead on the virtual 8-device CPU mesh (subprocess; the chip
+    # under the driver is single-device).
+    if '--no-pipeline' not in sys.argv:
+        detail['pipeline_cpu_mesh'] = pipeline_overhead()
     if '--tta' in sys.argv:
         detail['time_to_accuracy'] = time_to_accuracy()
     result = {
@@ -799,4 +940,7 @@ def main() -> None:
 
 
 if __name__ == '__main__':
-    main()
+    if _PIPELINE_CHILD in sys.argv:
+        _pipeline_child_main()
+    else:
+        main()
