@@ -73,6 +73,13 @@ KFAC_KW = dict(
     inv_dtype=jnp.bfloat16,
 )
 
+# Experimentation hook: KFAC_BENCH_OVERRIDES='{"bucket_padding": "max"}'
+# merges into KFAC_KW (used by scripts/profile_*.py A/Bs).
+import os as _os  # noqa: E402
+
+if _os.environ.get('KFAC_BENCH_OVERRIDES'):
+    KFAC_KW.update(json.loads(_os.environ['KFAC_BENCH_OVERRIDES']))
+
 
 def build() -> tuple[Any, ...]:
     """ResNet-20/CIFAR workload (round-1 headline; now a detail metric)."""

@@ -65,7 +65,7 @@ def parse_args() -> argparse.Namespace:
                    action='store_true', default=True)
     p.add_argument('--kfac-conv-a-factor-method', type=str, default='auto',
                    choices=['auto', 'patches', 'slices', 'convgrad',
-                            'rowgram', 'pallas'],
+                            'rowgram'],
                    help='conv A-factor algorithm (TPU perf knob)')
     p.add_argument('--kfac-gram-method', type=str, default='full',
                    choices=['full', 'tri', 'auto'],

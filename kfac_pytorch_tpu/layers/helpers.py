@@ -199,13 +199,15 @@ class Conv2dHelper(LayerHelper):
     # 3-6x on every ResNet-50 3x3 geometry; 'slices' (concat-of-slices
     # slab + Gram) wins when channels are too few to feed the lanes
     # (the 7x7/c=3 stem). Explicit choices: 'patches' (XLA
-    # conv_general_dilated_patches + Gram), 'slices', 'convgrad',
-    # 'rowgram' (row-pair Grams + band extraction), or 'pallas' (fused
-    # VMEM-streaming kernel, stride-1 TPU only; falls back to 'patches'
-    # where unsupported). use_pallas=True is legacy shorthand for
-    # 'pallas'. 1x1 kernels always use the strided-slice fast path.
+    # conv_general_dilated_patches + Gram), 'slices', 'convgrad', or
+    # 'rowgram' (row-pair Grams + band extraction). 1x1 kernels always
+    # use the strided-slice fast path. A Pallas fused slab kernel was
+    # built and RETIRED in round 3: measured slower than the XLA paths
+    # both standalone (~10x off speed-of-light, slab assembly bound) and
+    # in-graph (+27 ms vs +4.7 ms -- the custom call broke XLA's
+    # scheduling around the backward pass); see docs/PERF_NOTES.md
+    # "Capture A/B".
     a_factor_method: str = 'auto'
-    use_pallas: bool = False
 
     def _cov_permutation(self, c: int) -> Any:
         """Map XLA patches order (c, kh, kw) -> our (kh, kw, c) order."""
@@ -224,29 +226,10 @@ class Conv2dHelper(LayerHelper):
     def get_a_factor(self, a: jax.Array) -> jax.Array:
         a = self._compute_cast(self._maybe_cast(a))
         method = self.a_factor_method
-        if self.use_pallas:
-            method = 'pallas'
         if method == 'auto' and self.kernel_size != (1, 1):
             # Measured decision rule (see class comment): channel-starved
             # inputs take the slices slab; everything else convgrad.
             method = 'slices' if a.shape[-1] < 16 else 'convgrad'
-        if (
-            method == 'pallas'
-            and self.strides == (1, 1)  # slab slice-copy needs unit stride
-            and a.shape[-1] >= 16  # tiny channel counts waste VMEM lanes
-            and jax.default_backend() == 'tpu'
-        ):
-            from kfac_pytorch_tpu.ops.pallas.conv_cov import (
-                conv2d_a_factor_fused,
-            )
-
-            return conv2d_a_factor_fused(
-                a,
-                self.kernel_size,
-                self.strides,
-                self.padding,
-                has_bias=self.has_bias,
-            )
         if method == 'rowgram':
             from kfac_pytorch_tpu.ops.covariance import (
                 conv2d_a_factor_rowgram,

@@ -166,7 +166,7 @@ def register_modules(
             ``register_modules``, ``kfac/layers/register.py:57-95``).
         factor_dtype: optional dtype override for stored factors.
         conv_a_factor_method: A-factor algorithm for conv layers
-            ('patches' | 'convgrad' | 'rowgram' | 'pallas'); see
+            ('patches' | 'slices' | 'convgrad' | 'rowgram'); see
             ``Conv2dHelper.a_factor_method``.
         gram_method: Gram contraction scheme for the plain covariances
             ('full' | 'tri' | 'auto'); see ``LayerHelper.gram_method``.

@@ -225,20 +225,15 @@ class KFACPreconditioner:
         if accumulation_steps <= 0:
             raise ValueError('accumulation_steps must be > 0')
         if conv_a_factor_method not in (
-            'auto', 'patches', 'slices', 'convgrad', 'rowgram', 'pallas',
+            'auto', 'patches', 'slices', 'convgrad', 'rowgram',
         ):
+            # 'pallas' was retired in round 3: the fused slab kernel
+            # measured slower than the XLA paths both standalone and
+            # in-graph (docs/PERF_NOTES.md "Capture A/B").
             raise ValueError(
                 "conv_a_factor_method must be one of 'auto', 'patches', "
-                f"'slices', 'convgrad', 'rowgram', 'pallas'; got "
+                f"'slices', 'convgrad', 'rowgram'; got "
                 f'{conv_a_factor_method!r}',
-            )
-        if conv_a_factor_method == 'pallas':
-            warnings.warn(
-                "conv_a_factor_method='pallas' is measurably slower than "
-                "the default in-graph on current Mosaic (docs/PERF_NOTES"
-                '.md "Capture A/B"); kept for kernel development only',
-                ExperimentalFeatureWarning,
-                stacklevel=2,
             )
         if gram_method not in ('full', 'tri', 'auto'):
             raise ValueError(

@@ -184,6 +184,11 @@ def _clone_precond(p: Any, **over: Any) -> Any:
         lr=p._lr,
         precondition_precision=p.precondition_precision,
         factor_compute_dtype=p.factor_compute_dtype,
+        bucket_padding=p.bucket_padding,
+        inv_dtype=p.inv_dtype,
+        eigensolver=p.eigensolver,
+        refine_iterations=p.refine_iterations,
+        refine_precision=p.refine_precision,
     )
     kw.update(over)
     return KFACPreconditioner(**kw)
