@@ -370,6 +370,52 @@ def _floor() -> float:
     return _RPC_FLOOR
 
 
+def sync_probe() -> dict[str, float]:
+    """Regression probe for the hostsync timing methodology.
+
+    All bench timings rest on ``tracing.hostsync`` because
+    ``block_until_ready`` has been observed to return before dispatched
+    work completes on the tunnel backend. This probe times a
+    deliberately slow dispatch (a scanned matmul chain, ~tens of ms of
+    real device work) under BOTH sync methods and records the ratio: if
+    a backend fix makes ``block_until_ready`` honest, the two converge
+    toward 1 and the next round can drop the workaround knowingly
+    instead of silently changing methodology.
+    """
+    from kfac_pytorch_tpu.tracing import hostsync
+
+    m = jnp.eye(1024, dtype=jnp.bfloat16) * 0.999
+
+    @jax.jit
+    def slow(v: jax.Array) -> jax.Array:
+        def body(c, _):
+            return c @ m, None
+
+        out, _ = jax.lax.scan(body, v, xs=None, length=400)
+        return jnp.sum(out)
+
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    hostsync(slow(x))  # compile
+
+    def best_of(sync: Any, n: int = 3) -> float:
+        best = float('inf')
+        for _ in range(n):
+            t0 = time.perf_counter()
+            sync(slow(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_host = best_of(hostsync)
+    t_block = best_of(jax.block_until_ready)
+    return {
+        'hostsync_ms': round(t_host * 1e3, 3),
+        'block_until_ready_ms': round(t_block * 1e3, 3),
+        # ~1.0 => block_until_ready is honest on this backend and the
+        # hostsync workaround can be retired.
+        'block_to_hostsync_ratio': round(t_block / max(t_host, 1e-9), 4),
+    }
+
+
 def _timed_scan(
     step_fn: Any, carry: Any, length: int, repeats: int = 1,
 ) -> tuple[Any, float]:
@@ -852,6 +898,112 @@ def time_to_accuracy(
     }
 
 
+def refine_ab(target_acc: float = 0.9, max_steps: int = 400) -> dict:
+    """Refine-vs-exact convergence A/B on the CIFAR-10 ResNet-20 path.
+
+    Trains the SAME ResNet-20 task twice -- ``eigensolver='xla'`` (exact
+    eigh, the reference's numerics) vs the production
+    ``eigensolver='refine'`` (warm matmul-only refresh,
+    refine_precision='mixed', 2 iterations) -- at the production
+    intervals, and reports steps-to-accuracy and best accuracy for both.
+    The production default stands only if refine matches exact within
+    noise. Real ``cifar-10-batches-bin`` data is not available in this
+    environment (zero egress), so the task is the learnable synthetic
+    CIFAR construction (class-mean images + noise), same as the
+    time-to-accuracy gate.
+    """
+    import numpy as np
+
+    from kfac_pytorch_tpu import KFACPreconditioner
+    from kfac_pytorch_tpu.models import resnet20
+    from kfac_pytorch_tpu.tracing import hostsync
+
+    batch, nb = 64, 8
+    means = np.random.default_rng(42).normal(
+        0, 1, (10, 32, 32, 3),
+    ).astype(np.float32)
+
+    def mk(n: int, seed: int) -> tuple[jax.Array, jax.Array]:
+        r = np.random.default_rng(seed)
+        lab = r.integers(0, 10, n).astype(np.int32)
+        img = 0.7 * means[lab] + r.normal(
+            0, 1, (n, 32, 32, 3),
+        ).astype(np.float32)
+        return jnp.asarray(img), jnp.asarray(lab)
+
+    xs, ys = mk(batch * nb, 0)
+    xs = xs.reshape(nb, batch, 32, 32, 3)
+    ys = ys.reshape(nb, batch)
+    test_x, test_y = mk(512, 1)
+    model = resnet20()
+    variables = model.init(jax.random.PRNGKey(0), xs[0])
+    params0 = variables['params']
+    bn0 = variables['batch_stats']
+    loss_fn = _make_loss(model)
+
+    def run(solver: str) -> dict:
+        kw = dict(KFAC_KW)
+        kw['eigensolver'] = solver
+        if solver == 'xla':
+            kw.pop('refine_precision', None)
+            kw.pop('refine_iterations', None)
+        precond = KFACPreconditioner(model, example_args=(xs[0],), **kw)
+        tx = optax.sgd(0.1, momentum=0.9)
+        vag = precond.value_and_grad(loss_fn, has_aux=True)
+
+        def body(c: Any, b: Any):
+            p, bn, o, ks = c
+            (loss, bn2), grads, captured = vag(p, bn, *b)
+            grads, ks = precond.step(ks, grads, captured)
+            updates, o = tx.update(grads, o)
+            return (optax.apply_updates(p, updates), bn2, o, ks), loss
+
+        @jax.jit
+        def scan_chunk(c: Any) -> Any:
+            return jax.lax.scan(body, c, xs=(xs, ys))
+
+        @jax.jit
+        def test_acc(p: Any, bn: Any) -> jax.Array:
+            logits = model.apply(
+                {'params': p, 'batch_stats': bn}, test_x, train=False,
+            )
+            return (logits.argmax(-1) == test_y).mean()
+
+        carry: Any = (params0, bn0, tx.init(params0), precond.init())
+        warm = scan_chunk(carry)  # compile outside the timed region
+        hostsync(test_acc(warm[0][0], warm[0][1]))
+        start = time.perf_counter()
+        steps_done, best = None, 0.0
+        for i in range(max_steps // nb):
+            carry, _ = scan_chunk(carry)
+            acc = float(test_acc(carry[0], carry[1]))
+            best = max(best, acc)
+            if steps_done is None and acc >= target_acc:
+                steps_done = (i + 1) * nb
+        return {
+            'steps_to_target': steps_done,
+            'best_acc': round(best, 4),
+            'wall_s': round(time.perf_counter() - start, 2),
+        }
+
+    exact = run('xla')
+    refine = run('refine')
+    both = (
+        exact['steps_to_target'] is not None
+        and refine['steps_to_target'] is not None
+    )
+    return {
+        'target_acc': target_acc,
+        'exact_xla': exact,
+        'refine_mixed': refine,
+        # Parity verdict: refine must reach the bar within one eval
+        # chunk (nb steps) of exact, or beat it.
+        'parity': both and (
+            refine['steps_to_target'] - exact['steps_to_target'] <= 8
+        ),
+    }
+
+
 def main() -> None:
     # Headline: the BASELINE.md workload (ResNet-50, ImageNet shapes).
     _, params, bn, precond, loss_fn, x, y = build_rn50()
@@ -934,6 +1086,10 @@ def main() -> None:
         detail['pipeline_cpu_mesh'] = pipeline_overhead()
     if '--tta' in sys.argv:
         detail['time_to_accuracy'] = time_to_accuracy()
+    if '--refine-ab' in sys.argv:
+        detail['refine_vs_exact'] = refine_ab()
+    # Methodology guard: hostsync-vs-block_until_ready on real work.
+    detail['sync_probe'] = sync_probe()
     result = {
         'metric': 'kfac_step_overhead_pct',
         # Detail entries carry the signed overhead; the headline verdict

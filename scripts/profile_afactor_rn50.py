@@ -37,6 +37,18 @@ GEOMS = [
     (7, 7, 512, 3, 3, 1, 2),
 ]
 
+# ResNet-20/CIFAR geometries (--rn20): small channel counts (16/32)
+# starve the 128-wide lanes, so the rn50-tuned 'auto' rule needs its own
+# sweep here.
+GEOMS_RN20 = [
+    (32, 32, 3, 3, 3, 1, 1),
+    (32, 32, 16, 3, 3, 1, 13),
+    (32, 32, 16, 3, 3, 2, 1),
+    (16, 16, 32, 3, 3, 1, 11),
+    (16, 16, 32, 3, 3, 2, 1),
+    (8, 8, 64, 3, 3, 1, 11),
+]
+
 
 def rpc_floor() -> float:
     """Host-sync round-trip latency (hostsync forces a device->host
@@ -110,7 +122,8 @@ def main() -> None:
     totals: dict[str, float] = {}
     incomplete: set[str] = set()
     print(f'batch={BATCH}  backend={jax.default_backend()}', flush=True)
-    for h, w, c, kh, kw, s, count in GEOMS:
+    geoms = GEOMS_RN20 if '--rn20' in sys.argv else GEOMS
+    for h, w, c, kh, kw, s, count in geoms:
         line = f'({h:3d},{w:3d},{c:4d}) k{kh}x{kw} s{s} x{count}:'
         methods = ('patches', 'convgrad', 'rowgram')
         if '--methods' in sys.argv:
