@@ -365,6 +365,80 @@ def test_scheduler_reaches_pipelined_step() -> None:
     assert float(state.hyperparams['damping']) == pytest.approx(0.005)
 
 
+def test_shared_module_called_twice_per_stage() -> None:
+    """A stage that calls the SAME Dense twice (n_calls=2): per-call
+    taps and call-averaged factors must match the unpipelined engine."""
+
+    class SharedStage(nn.Module):
+        width: int
+
+        @nn.compact
+        def __call__(self, x: jax.Array) -> jax.Array:
+            shared = nn.Dense(self.width)
+            x = nn.relu(shared(x))
+            return nn.relu(shared(x))
+
+    class SharedFull(nn.Module):
+        width: int
+        n_stages: int
+
+        @nn.compact
+        def __call__(self, x: jax.Array) -> jax.Array:
+            for _ in range(self.n_stages):
+                x = SharedStage(self.width)(x)
+            return x
+
+    mesh = _mesh()
+    x_mb = jnp.zeros((BATCH // (DATA * MICRO), WIDTH))
+    precond = PipelineKFACPreconditioner(
+        SharedStage(WIDTH),
+        mesh=mesh,
+        n_microbatches=MICRO,
+        loss_fn=_loss,
+        example_args=(x_mb,),
+    )
+    assert precond.specs['Dense_0'].n_calls == 2
+    params = precond.init_params(jax.random.PRNGKey(3))
+    x, y = _data()
+    (loss_p, _), grads_p, cap_p = jax.jit(precond.value_and_grad())(
+        params, x, y,
+    )
+
+    model = SharedFull(width=WIDTH, n_stages=STAGES)
+    fparams = {
+        f'SharedStage_{s}': jax.tree.map(lambda leaf: leaf[s], params)
+        for s in range(STAGES)
+    }
+    ref = KFACPreconditioner(model, example_args=(x,))
+
+    def full_loss(p, bx, by):
+        return _loss(model.apply({'params': p}, bx), by)
+
+    (loss_r, _), grads_r, cap_r = jax.jit(ref.value_and_grad(full_loss))(
+        fparams, x, y,
+    )
+    np.testing.assert_allclose(float(loss_p), float(loss_r), rtol=1e-6)
+    for s in range(STAGES):
+        np.testing.assert_allclose(
+            np.asarray(cap_p['Dense_0'].a[s]),
+            np.asarray(cap_r[f'SharedStage_{s}/Dense_0'].a),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cap_p['Dense_0'].g[s]),
+            np.asarray(cap_r[f'SharedStage_{s}/Dense_0'].g),
+            rtol=1e-5,
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads_p['Dense_0']['kernel'][s]),
+            np.asarray(grads_r[f'SharedStage_{s}']['Dense_0']['kernel']),
+            rtol=1e-5,
+            atol=1e-7,
+        )
+
+
 def test_rejects_shape_changing_stage() -> None:
     class Bad(nn.Module):
         @nn.compact
