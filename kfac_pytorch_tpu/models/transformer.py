@@ -92,7 +92,8 @@ class PipelineTransformerStage(nn.Module):
     The GPT-NeoX model family of the reference's pipelined preconditioner
     (``kfac/gpt_neox/preconditioner.py:40-515`` of gpauloski/kfac-pytorch),
     expressed as a user flax module for
-    :class:`~kfac_pytorch_tpu.parallel.pipe_precond.PipelineKFACPreconditioner`:
+    :class:`PipelineKFACPreconditioner`
+    (``kfac_pytorch_tpu.parallel.pipe_precond``):
     fused-qkv and ffn_in are :class:`ColumnParallelDense` (kernels
     column-sharded over the ``model`` mesh axis, pre-activations
     gathered); attn_out and ffn_out are :class:`RowParallelDense`

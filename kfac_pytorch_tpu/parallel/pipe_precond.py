@@ -575,7 +575,9 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
                 a_covs: dict[str, list[jax.Array]] = {}
                 call_idx: dict[str, int] = {}
 
-                def interceptor(next_fun, cargs, ckwargs, context, _t=t):  # type: ignore[no-untyped-def]
+                def interceptor(  # type: ignore[no-untyped-def]
+                    next_fun, cargs, ckwargs, context, _t=t,
+                ):
                     module = context.module
                     if context.method_name != '__call__' or not cargs:
                         return next_fun(*cargs, **ckwargs)
