@@ -263,26 +263,45 @@ def _pipeline_child_main() -> None:
 
     n = 100
 
-    def run(body: Any, carry: Any) -> float:
+    def make_run(body: Any, carry: Any) -> Any:
         @jax.jit
         def scan(c: Any) -> Any:
             return jax.lax.scan(body, c, xs=None, length=n)
 
-        out = jax.block_until_ready(scan(carry))
-        best = float('inf')
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(scan(out[0]))
-            best = min(best, time.perf_counter() - t0)
-        return best / n
+        state = {'c': jax.block_until_ready(scan(carry))[0]}  # compile
 
-    t_sgd = run(sgd_body, (params, tx.init(params)))
-    t_kfac = run(kfac_body, (params, tx.init(params), precond.init()))
+        def once() -> float:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(scan(state['c']))
+            state['c'] = out[0]
+            return time.perf_counter() - t0
+
+        return once
+
+    # CPU-mesh wall times are sensitive to host load; alternate the two
+    # measurements and take per-loop minima so transient contention
+    # hits both equally.
+    run_sgd = make_run(sgd_body, (params, tx.init(params)))
+    run_kfac = make_run(
+        kfac_body, (params, tx.init(params), precond.init()),
+    )
+    t_sgd, t_kfac = float('inf'), float('inf')
+    for _ in range(5):
+        t_sgd = min(t_sgd, run_sgd())
+        t_kfac = min(t_kfac, run_kfac())
+    t_sgd /= n
+    t_kfac /= n
     print(json.dumps({
         'sgd_step_ms': round(t_sgd * 1e3, 3),
         'kfac_step_ms': round(t_kfac * 1e3, 3),
         'overhead_pct': round((t_kfac / t_sgd - 1.0) * 100.0, 2),
         'mesh': 'pipe4 x data2 (virtual CPU)',
+        # CPU has no matrix unit: K-FAC's matmul-dominated work
+        # (capture covariances, refine refresh, preconditioning) is
+        # structurally overstated relative to TPU, so this ratio is an
+        # UPPER BOUND on the pipelined overhead, useful for regression
+        # tracking only.
+        'note': 'CPU-relative upper bound; no MXU',
         'model': f'4-stage MLP width {width}, {micro} microbatches',
     }))
 

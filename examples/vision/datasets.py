@@ -89,21 +89,20 @@ def _load_cifar_binaries(data_dir: str) -> tuple[np.ndarray, ...] | None:
         return None
 
     def read(fname: str) -> tuple[np.ndarray, np.ndarray]:
+        # Fused native decode (label split + CHW->NHWC + /255 +
+        # mean/std) with a numpy fallback; see utils/native.
+        from kfac_pytorch_tpu.utils.native import decode_cifar_records
+
         raw = np.fromfile(os.path.join(base, fname), np.uint8)
-        raw = raw.reshape(-1, 3073)
-        labels = raw[:, 0].astype(np.int32)
-        imgs = raw[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        return imgs.astype(np.float32) / 255.0, labels
+        return decode_cifar_records(
+            raw.reshape(-1, 3073), CIFAR_MEAN, CIFAR_STD,
+        )
 
     train_parts = [read(f'data_batch_{i}.bin') for i in range(1, 6)]
     train_x = np.concatenate([p[0] for p in train_parts])
     train_y = np.concatenate([p[1] for p in train_parts])
     test_x, test_y = read('test_batch.bin')
     return train_x, train_y, test_x, test_y
-
-
-def _normalize(x: np.ndarray) -> np.ndarray:
-    return (x - CIFAR_MEAN) / CIFAR_STD
 
 
 def cifar10(
@@ -122,13 +121,14 @@ def cifar10(
             synthetic_size,
         )
     train_x, train_y, test_x, test_y = loaded
+    # Images arrive already normalized from the fused decode path.
     return (
         Dataset(
-            _normalize(train_x), train_y, batch_size,
+            train_x, train_y, batch_size,
             train=True, seed=seed, augment=True,
         ),
         Dataset(
-            _normalize(test_x), test_y, val_batch_size,
+            test_x, test_y, val_batch_size,
             train=False, seed=seed,
         ),
     )

@@ -19,7 +19,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['native_available', 'random_crop_flip']
+__all__ = ['native_available', 'random_crop_flip', 'decode_cifar_records']
 
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
@@ -60,6 +60,15 @@ def _build_and_load() -> ctypes.CDLL | None:
         *([ctypes.c_int64] * 6),
     ]
     lib.random_crop_flip.restype = None
+    lib.decode_cifar.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        *([ctypes.c_int64] * 4),
+    ]
+    lib.decode_cifar.restype = None
     return lib
 
 
@@ -123,3 +132,41 @@ def random_crop_flip(
         n, ph, pw, h, w, c,
     )
     return out
+
+
+def decode_cifar_records(
+    raw: np.ndarray,
+    mean: np.ndarray,
+    std: np.ndarray,
+    h: int = 32,
+    w: int = 32,
+    c: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode CIFAR binary records to normalized NHWC float32 images.
+
+    ``raw`` is ``(n, 1 + c*h*w)`` uint8 (label byte + CHW planes, the
+    ``cifar-10-batches-bin`` layout). Returns ``(images, labels)`` with
+    images already ``(x/255 - mean) / std`` normalized. One fused native
+    pass when the toolchain is available; numpy fallback otherwise.
+    """
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = raw.shape[0]
+    mean32 = np.ascontiguousarray(mean, np.float32)
+    std32 = np.ascontiguousarray(std, np.float32)
+    lib = _get_lib()
+    if lib is None:
+        labels = raw[:, 0].astype(np.int32)
+        imgs = raw[:, 1:].reshape(n, c, h, w).transpose(0, 2, 3, 1)
+        imgs = (imgs.astype(np.float32) / 255.0 - mean32) / std32
+        return imgs, labels
+    labels = np.empty((n,), np.int32)
+    out = np.empty((n, h, w, c), np.float32)
+    lib.decode_cifar(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mean32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, h, w, c,
+    )
+    return out, labels

@@ -70,4 +70,37 @@ void normalize_inplace(
   }
 }
 
+// Decode CIFAR binary records in one pass: raw rows of
+// (1 label byte + c*h*w CHW-plane pixel bytes) -> int32 labels and
+// NHWC float32 images normalized as (x/255 - mean[ch]) / std[ch].
+// Fuses the decode, the plane transpose, and the normalization the
+// Python path does in three materializing steps.
+void decode_cifar(
+    const uint8_t* raw,
+    int32_t* labels,
+    float* out,
+    const float* mean,
+    const float* stddev,
+    int64_t n,
+    int64_t h,
+    int64_t w,
+    int64_t c) {
+  const int64_t plane = h * w;
+  const int64_t rec = 1 + c * plane;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* r = raw + i * rec;
+    labels[i] = static_cast<int32_t>(r[0]);
+    const uint8_t* px = r + 1;
+    float* dst = out + i * plane * c;
+    for (int64_t ch = 0; ch < c; ++ch) {
+      const float scale = 1.0f / (255.0f * stddev[ch]);
+      const float bias = -mean[ch] / stddev[ch];
+      const uint8_t* p = px + ch * plane;
+      for (int64_t s = 0; s < plane; ++s) {
+        dst[s * c + ch] = static_cast<float>(p[s]) * scale + bias;
+      }
+    }
+  }
+}
+
 }  // extern "C"

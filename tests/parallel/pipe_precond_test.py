@@ -365,6 +365,85 @@ def test_scheduler_reaches_pipelined_step() -> None:
     assert float(state.hyperparams['damping']) == pytest.approx(0.005)
 
 
+def test_conv_stage_pipelines_exactly() -> None:
+    """Conv layers inside a pipeline stage: beyond the reference (its
+    GPT-NeoX path registers only Linears); capture must match the
+    unpipelined engine exactly."""
+
+    class ConvStage(nn.Module):
+        @nn.compact
+        def __call__(self, x: jax.Array) -> jax.Array:
+            x = nn.relu(nn.Conv(8, (3, 3), padding='SAME')(x))
+            return nn.relu(nn.Conv(8, (3, 3), padding='SAME')(x))
+
+    class ConvFull(nn.Module):
+        n_stages: int
+
+        @nn.compact
+        def __call__(self, x: jax.Array) -> jax.Array:
+            for _ in range(self.n_stages):
+                x = ConvStage()(x)
+            return x
+
+    def conv_loss(out: jax.Array, y: jax.Array) -> jax.Array:
+        logits = out.mean(axis=(1, 2))
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), y,
+        ).mean()
+
+    mesh = _mesh()
+    x_mb = jnp.zeros((BATCH // (DATA * MICRO), 8, 8, 8))
+    precond = PipelineKFACPreconditioner(
+        ConvStage(),
+        mesh=mesh,
+        n_microbatches=MICRO,
+        loss_fn=conv_loss,
+        example_args=(x_mb,),
+    )
+    assert {s.module_type for s in precond.specs.values()} == {'conv2d'}
+    params = precond.init_params(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (BATCH, 8, 8, 8))
+    y = jax.random.randint(jax.random.PRNGKey(1), (BATCH,), 0, 8)
+    (loss_p, _), grads_p, cap_p = jax.jit(precond.value_and_grad())(
+        params, x, y,
+    )
+
+    model = ConvFull(n_stages=STAGES)
+    fparams = {
+        f'ConvStage_{s}': jax.tree.map(lambda leaf: leaf[s], params)
+        for s in range(STAGES)
+    }
+    ref = KFACPreconditioner(model, example_args=(x,))
+
+    def full_loss(p, bx, by):
+        return conv_loss(model.apply({'params': p}, bx), by)
+
+    (loss_r, _), grads_r, cap_r = jax.jit(ref.value_and_grad(full_loss))(
+        fparams, x, y,
+    )
+    np.testing.assert_allclose(float(loss_p), float(loss_r), rtol=1e-6)
+    for s in range(STAGES):
+        for layer in ('Conv_0', 'Conv_1'):
+            np.testing.assert_allclose(
+                np.asarray(cap_p[layer].a[s]),
+                np.asarray(cap_r[f'ConvStage_{s}/{layer}'].a),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(cap_p[layer].g[s]),
+                np.asarray(cap_r[f'ConvStage_{s}/{layer}'].g),
+                rtol=1e-5,
+                atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                np.asarray(grads_p[layer]['kernel'][s]),
+                np.asarray(grads_r[f'ConvStage_{s}'][layer]['kernel']),
+                rtol=1e-5,
+                atol=1e-7,
+            )
+
+
 def test_shared_module_called_twice_per_stage() -> None:
     """A stage that calls the SAME Dense twice (n_calls=2): per-call
     taps and call-averaged factors must match the unpipelined engine."""
