@@ -147,6 +147,7 @@ def capture_value_and_grad(
     specs: dict[str, LayerSpec],
     has_aux: bool = False,
     grad_scale: Callable[[], jax.Array | float] | None = None,
+    remat: bool = False,
 ) -> Callable[..., tuple[Any, Any, Captured]]:
     """Build a jittable ``value_and_grad`` that also captures K-FAC factors.
 
@@ -160,6 +161,12 @@ def capture_value_and_grad(
             output-gradients are divided by it before the covariance, exactly
             like the reference's ``grad_scaler`` unscaling
             (``kfac/layers/base.py:359-373``).
+        remat: rematerialize the capture forward (``jax.checkpoint``):
+            activations are recomputed during the backward instead of
+            kept live alongside the capture transients -- trades FLOPs
+            for the HBM headroom that bounds the largest single-batch
+            capture (docs/PERF_NOTES.md "Remaining opportunities" #1).
+            Numerics are unchanged.
 
     Returns:
         ``fn(params, *args, **kwargs) -> ((loss, aux), grads, captured)``
@@ -167,6 +174,8 @@ def capture_value_and_grad(
         layer name -> CapturedFactors. Fully jittable.
     """
     wrapped = _tapped_loss_fn(loss_fn, specs, has_aux)
+    if remat:
+        wrapped = jax.checkpoint(wrapped)
 
     # Tap shapes depend only on the abstract signature of the inputs, so
     # cache them by (treedef, leaf shapes/dtypes): repeated un-jitted calls

@@ -189,6 +189,7 @@ class KFACPreconditioner:
         sharding: Any = None,  # parallel.strategy.KAISASharding or None
         bucket_padding: str = 'none',  # 'none' | 'pow2' | 'max'
         # Other
+        capture_remat: bool = False,
         grad_scale: Callable[[], Any] | None = None,
         factor_dtype: Any = None,
         factor_compute_dtype: Any = None,
@@ -324,6 +325,7 @@ class KFACPreconditioner:
         self.sharding = sharding
         self.accumulation_steps = accumulation_steps
         self.grad_scale = grad_scale
+        self.capture_remat = capture_remat
         self.factor_dtype = factor_dtype
         self.factor_compute_dtype = factor_compute_dtype
         self.gram_method = gram_method
@@ -683,6 +685,7 @@ class KFACPreconditioner:
             self._specs,
             has_aux=has_aux,
             grad_scale=self.grad_scale,
+            remat=self.capture_remat,
         )
 
     # ------------------------------------------------------------------
