@@ -172,3 +172,21 @@ def test_accumulate_captures() -> None:
         (np.asarray(c1['Dense_0'].a) + np.asarray(c2['Dense_0'].a)) / 2.0,
         rtol=1e-6,
     )
+
+
+def test_capture_remat_is_exact() -> None:
+    """capture_remat (jax.checkpoint on the capture forward) changes
+    memory behavior only: loss, grads, and factors are identical."""
+    model, params, specs, loss_fn, x, y = _setup()
+    plain = jax.jit(capture_value_and_grad(loss_fn, specs))
+    remat = jax.jit(capture_value_and_grad(loss_fn, specs, remat=True))
+    (l1, _), g1, c1 = plain(params, x, y)
+    (l2, _), g2, c2 = remat(params, x, y)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7,
+        ),
+        (g1, c1),
+        (g2, c2),
+    )
