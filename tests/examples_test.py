@@ -125,3 +125,37 @@ def test_prefetcher_overlaps_producer_with_consumer() -> None:
     wall = _time.perf_counter() - start
     # Serial would be ~0.2s; pipelined ~0.12s. Generous CI bound:
     assert wall < 0.18
+
+
+def test_pipeline_transformer_cli_smoke() -> None:
+    """The pipelined-transformer CLI trains a few steps on the virtual
+    CPU mesh (2D and with --kfac 0 fast path)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = (
+        env.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'pipeline_transformer.py'),
+            '--force-cpu', '--pipe', '2', '--data', '2',
+            '--steps', '8', '--log-every', '4',
+            '--dim', '32', '--heads', '2', '--ffn-dim', '64',
+            '--seq-len', '16', '--batch-size', '16',
+            '--kfac-factor-update-steps', '2',
+            '--kfac-inv-update-steps', '4',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'step     8' in out.stdout, out.stdout
