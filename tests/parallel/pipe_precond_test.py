@@ -202,6 +202,36 @@ def test_engine_update_matches_unpipelined(solver: str) -> None:
                 )
 
 
+def test_inverse_method_matches_unpipelined() -> None:
+    """compute_method='inverse' (the reference's --kfac-inv-method)
+    through the pipelined engine."""
+    mesh = _mesh()
+    kw = dict(compute_method='inverse', damping=0.01, kl_clip=0.01)
+    precond = _make(mesh, **kw)
+    params = precond.init_params(jax.random.PRNGKey(3))
+    x, y = _data()
+
+    model = FullModel(width=WIDTH, n_stages=STAGES)
+    fparams = _unpipelined_equiv(params)
+    ref = KFACPreconditioner(model, example_args=(x,), **kw)
+
+    state_p, state_r = precond.init(), ref.init()
+    assert state_p.buckets[precond.plan[0].key].a_inv is not None
+    (_, _), grads_p, cap_p = jax.jit(precond.value_and_grad())(params, x, y)
+    (_, _), grads_r, cap_r = jax.jit(ref.value_and_grad(_full_loss(model)))(
+        fparams, x, y,
+    )
+    pg_p, _ = jax.jit(precond.step)(state_p, grads_p, cap_p)
+    pg_r, _ = jax.jit(ref.step)(state_r, grads_r, cap_r)
+    for s in range(STAGES):
+        for layer in range(2):
+            got = np.asarray(pg_p[f'Dense_{layer}']['kernel'][s])
+            want = np.asarray(
+                pg_r[f'Stage_{s}'][f'Dense_{layer}']['kernel'],
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
 def test_second_order_state_is_stage_sharded() -> None:
     mesh = _mesh()
     precond = _make(mesh, factor_update_steps=1, inv_update_steps=1)
