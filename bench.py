@@ -119,20 +119,17 @@ def build_rn50(batch: int = 128) -> tuple[Any, ...]:
     return model, params, batch_stats, precond, loss_fn, x, y
 
 
-def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
-    """K-FAC step overhead on a causal transformer LM (Dense layers).
+def build_lm() -> tuple[Any, ...]:
+    """Causal transformer LM workload (the reference's third family).
 
-    The reference's third headline family (its LM example applies K-FAC
-    to the attention/FFN Linears, ``examples/torch_language_model.py:
-    246-262`` of gpauloski/kfac-pytorch; README cites BERT). A
-    BERT-base-ish slice: dim 512, 6 blocks, ffn 2048, seq 512, b32 --
+    A BERT-base-ish slice: dim 512, 6 blocks, ffn 2048, seq 512, b32 --
     fused-qkv attention + MLP Dense layers registered, embed/lm_head
-    skipped like the reference's example.
+    skipped like the reference's LM example
+    (``examples/torch_language_model.py:246-262`` of
+    gpauloski/kfac-pytorch).
     """
     from kfac_pytorch_tpu import KFACPreconditioner
     from kfac_pytorch_tpu.models.transformer import TransformerLM
-    from kfac_pytorch_tpu.train import KFACTrainCarry
-    from kfac_pytorch_tpu.train import make_train_step
 
     vocab, seq, batch = 8192, 512, 32
     model = TransformerLM(
@@ -154,6 +151,19 @@ def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
     kw = dict(KFAC_KW)
     kw['skip_layers'] = ['embed', 'lm_head']
     precond = KFACPreconditioner(model, example_args=(x,), **kw)
+    return model, params, None, precond, loss_fn, x, y
+
+
+def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
+    """K-FAC step overhead on a causal transformer LM (Dense layers).
+
+    The reference's third headline family (README cites BERT); see
+    ``build_lm`` for the workload.
+    """
+    from kfac_pytorch_tpu.train import KFACTrainCarry
+    from kfac_pytorch_tpu.train import make_train_step
+
+    _, params, _, precond, loss_fn, x, y = build_lm()
     tx = optax.sgd(0.1, momentum=0.9)
     grad_fn = jax.value_and_grad(loss_fn)
 

@@ -27,15 +27,20 @@ Algorithm (``n_iter`` fixed iterations, all ``[B, d, d]`` batched):
    preconditioner-irrelevant (``1/(w + damping)`` is flat there), and
    resolving them is exactly the ill-posed part of the problem. The
    entry clamp bounds the step when the drift is locally large.
-3. ``V <- V (I + X)``, re-orthonormalized by CholeskyQR
-   (``V <- V L^-T, L = chol(V^T V)``): exact orthonormalization from the
-   one dense factorization that *is* fast on this backend, stable for
-   the near-orthonormal V produced by step 2. A Newton-Schulz
+3. ``V <- V (I + X)``, re-orthonormalized at the end. A Newton-Schulz
    orthonormality step runs after the FIRST rotation only: that is where
    ``X`` is largest (cold starts); at steady state ``X`` is tiny and the
    O(||X||^2) drift over the remaining iterations sits below the final
-   CholeskyQR's repair range (measured: preconditioner residual
-   unchanged at 3 decimal places, ~25% fewer d^3 matmuls per refresh).
+   repair range (measured: preconditioner residual unchanged at 3
+   decimal places, ~25% fewer d^3 matmuls per refresh). The FINAL
+   orthonormalization is adaptive (``final_orth='auto'``): the Gram
+   ``V^T V`` is measured on-device and a ``lax.cond`` picks one
+   Newton-Schulz step (matmul-only; every steady-state refresh) or
+   exact CholeskyQR (``V <- V L^-T, L = chol(V^T V)``; cold starts and
+   large drift, where NS would not converge) -- cholesky/
+   triangular_solve are latency-bound on TPU, so skipping them at
+   steady state removes the dominant refresh cost at transformer
+   factor sizes.
 
 Accuracy, measured against exact eigh on realistic rank-deficient
 (cond >= 1e7) factors with 10 EMA updates of drift between refreshes:
@@ -60,13 +65,16 @@ import jax.numpy as jnp
 
 __all__ = ['refine_eigh']
 
-@functools.partial(jax.jit, static_argnames=('n_iter', 'precision'))
+@functools.partial(
+    jax.jit, static_argnames=('n_iter', 'precision', 'final_orth'),
+)
 def refine_eigh(
     a: jax.Array,
     v0: jax.Array,
     damping: jax.Array | float,
     n_iter: int = 3,
     precision: str = 'highest',
+    final_orth: str = 'auto',
 ) -> tuple[jax.Array, jax.Array]:
     """Refresh an eigendecomposition from a warm basis.
 
@@ -91,6 +99,19 @@ def refine_eigh(
             (res 1.16e-2/9.7e-3/7.7e-3 at d=145/512/1153) at ~30% less
             MXU work. Full-'default' is NOT safe: the bf16 diagnostic
             degrades the residual 5-10x (measured).
+        final_orth: how the exact orthonormalization at the end is done.
+            'cholqr' always runs CholeskyQR -- exact, but ``cholesky`` +
+            ``triangular_solve`` are LATENCY-bound on TPU (~9-10 ms at
+            d~2048 batched, several ms even at d=512; docs/PERF_NOTES.md)
+            and dominate the refresh at transformer factor sizes. 'auto'
+            (default) measures the Gram residual ``e = max |V^T V - I|``
+            (the Gram is computed either way) and branches with
+            ``lax.cond``: when ``e < 2e-3`` -- every steady-state refresh;
+            one Newton-Schulz step at the diagnostic precision suffices
+            (``e -> 0.75 e^2 <= 3e-6``, below the orthonormality
+            contract) -- it runs matmul-only NS; otherwise (cold starts,
+            large drift) it runs the exact CholeskyQR. 'ns' forces the
+            NS branch (testing only: unsafe for cold starts).
 
     Returns:
         ``(v, w)``: refined orthonormal basis and Ritz values
@@ -148,10 +169,29 @@ def refine_eigh(
             vtv = jnp.einsum('bji,bjk->bik', v, v, **_LO)
             v = 1.5 * v - 0.5 * jnp.einsum('bij,bjk->bik', v, vtv, **_LO)
     vtv = jnp.einsum('bji,bjk->bik', v, v, **_HI)
-    ell = jnp.linalg.cholesky(vtv)
-    v = jax.lax.linalg.triangular_solve(
-        ell, v, left_side=False, lower=True, transpose_a=True,
-    )
+
+    def _cholqr(vv: jax.Array) -> jax.Array:
+        ell = jnp.linalg.cholesky(vtv)
+        return jax.lax.linalg.triangular_solve(
+            ell, vv, left_side=False, lower=True, transpose_a=True,
+        )
+
+    def _ns(vv: jax.Array) -> jax.Array:
+        # One Newton-Schulz orthonormalization step at the diagnostic
+        # precision: VtV = I + E maps to I - 0.75 E^2 + O(E^3). Matmul-
+        # only -- replaces the latency-bound cholesky/triangular_solve
+        # pair when E is already small (every steady-state refresh).
+        return 1.5 * vv - 0.5 * jnp.einsum('bij,bjk->bik', vv, vtv, **_HI)
+
+    if final_orth == 'cholqr':
+        v = _cholqr(v)
+    elif final_orth == 'ns':
+        v = _ns(v)
+    elif final_orth == 'auto':
+        gram_err = jnp.max(jnp.abs(vtv - eye))
+        v = jax.lax.cond(gram_err < 2e-3, _ns, _cholqr, v)
+    else:
+        raise ValueError(f'unknown final_orth: {final_orth!r}')
     av = jnp.einsum('bij,bjk->bik', a, v, **_HI)
     w = jnp.maximum(jnp.sum(v * av, axis=-2), 0.0)
     return v, w

@@ -183,6 +183,7 @@ class KFACPreconditioner:
         eigensolver: str = 'auto',  # 'auto' | 'xla' | 'refine'
         refine_iterations: int = 3,
         refine_precision: str = 'highest',  # 'highest' (f32) | 'high'
+        refine_final_orth: str = 'auto',  # 'auto' | 'cholqr' | 'ns'
         grad_worker_fraction: DistributedStrategy | float = (
             DistributedStrategy.COMM_OPT
         ),
@@ -321,6 +322,16 @@ class KFACPreconditioner:
                 stacklevel=2,
             )
         self.refine_precision = refine_precision
+        # Final orthonormalization of the refine refresh: 'auto' conds
+        # between one Newton-Schulz step (steady state; matmul-only) and
+        # exact CholeskyQR (cold starts) -- cholesky/triangular_solve
+        # are latency-bound on TPU (ops/refine.py docstring).
+        if refine_final_orth not in ('auto', 'cholqr', 'ns'):
+            raise ValueError(
+                "refine_final_orth must be 'auto', 'cholqr', or 'ns'; "
+                f'got {refine_final_orth!r}',
+            )
+        self.refine_final_orth = refine_final_orth
         self.grad_worker_fraction = grad_worker_fraction
         self.sharding = sharding
         self.accumulation_steps = accumulation_steps
@@ -777,10 +788,12 @@ class KFACPreconditioner:
                     qa, da = refine_eigh(
                         a_stacked, bs.qa, damping, self.refine_iterations,
                         precision=self.refine_precision,
+                        final_orth=self.refine_final_orth,
                     )
                     qg, dg = refine_eigh(
                         g_stacked, bs.qg, damping, self.refine_iterations,
                         precision=self.refine_precision,
+                        final_orth=self.refine_final_orth,
                     )
                     qa = qa.astype(self.inv_dtype)
                     da = da.astype(self.inv_dtype)

@@ -1,15 +1,21 @@
 """Isolate the per-step precondition cost (stages 3-5) on the real chip.
 
-Three scans over the rn20 bench workload:
+Ablation ladder, each a 100-step scan over the chosen bench workload
+(``--lm`` for the transformer LM, default ResNet-20/CIFAR):
+
     sgd        : plain value_and_grad + optax
-    direct     : + stages 3-5 called directly on a FROZEN bucket state
-                 (no lax.cond, no state threading)
+    stack      : + grad-matrix stack + write-back (identity precondition)
+                 -- the pure data-movement floor of stages 3/5
+    nokl       : + the precondition matmuls, KL clip skipped
+    direct     : + KL clip = full stages 3-5 math on a FROZEN bucket
+                 state (no lax.cond, no state threading)
     step       : + the full precond.step(captured=None) with the inv
                  cond compiled in (ius=1e9: the cond never takes the
                  refresh branch)
 
-direct-vs-step separates the actual precondition math from the
-cond/state-threading overhead; sgd-vs-direct is the math itself.
+Successive deltas attribute the cost: sgd->stack is stack/unstack
+traffic, stack->nokl the matmuls, nokl->direct the KL clip,
+direct->step the cond/state-threading overhead.
 """
 
 from __future__ import annotations
@@ -69,17 +75,31 @@ def main() -> None:
     sys.path.insert(0, '/root/repo')
     import bench
 
-    model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    lm = '--lm' in sys.argv
+    if lm:
+        model, params, batch_stats, precond, loss_fn, x, y = bench.build_lm()
+    else:
+        model, params, batch_stats, precond, loss_fn, x, y = bench.build()
+    has_aux = batch_stats is not None
     tx = optax.sgd(0.1, momentum=0.9)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def fwd_bwd(p: Any, bn: Any) -> tuple[Any, Any, Any]:
+        if has_aux:
+            (loss, bn2), grads = grad_fn(p, bn, x, y)
+        else:
+            loss, grads = grad_fn(p, x, y)
+            bn2 = bn
+        return loss, bn2, grads
 
     def sgd_body(carry: Any, _: Any):
         p, bn, o = carry
-        (loss, bn2), grads = grad_fn(p, bn, x, y)
+        loss, bn2, grads = fwd_bwd(p, bn)
         updates, o = tx.update(grads, o)
         return (optax.apply_updates(p, updates), bn2, o), loss
 
-    t_sgd = timed_scan(sgd_body, (params, batch_stats, tx.init(params)))
+    carry0 = (params, batch_stats, tx.init(params))
+    t_sgd = timed_scan(sgd_body, carry0)
     print(f'sgd:     {t_sgd*1e3:7.3f} ms')
 
     # Frozen-state direct stages 3-5 (closure captures the state;
@@ -88,7 +108,7 @@ def main() -> None:
     from kfac_pytorch_tpu.utils.tree import params_root
     from kfac_pytorch_tpu.ops.curvature import kl_clip_scale
 
-    def stages_345(grads: Any) -> Any:
+    def stages_345(grads: Any, kl: bool, matmuls: bool) -> Any:
         root = params_root(grads, precond._first_component)
         vg_sum = jnp.zeros((), jnp.float32)
         pgs = {}
@@ -96,31 +116,47 @@ def main() -> None:
         for bucket in precond._plan:
             gm = precond._grad_mats_for_bucket(bucket, root)
             bs = state0.buckets[bucket.key]
-            pg = precond._precondition_bucket(bucket, bs, gm, 0.003)
+            if matmuls:
+                pg = precond._precondition_bucket(bucket, bs, gm, 0.003)
+            else:
+                pg = gm
             pgs[bucket.key] = pg
             dts[bucket.key] = gm.dtype
-            vg_sum = vg_sum + jnp.sum(
-                pg.astype(jnp.float32) * gm.astype(jnp.float32),
-            ) * jnp.float32(0.01)
-        scale = kl_clip_scale(vg_sum, 0.001)
+            if kl:
+                vg_sum = vg_sum + jnp.sum(
+                    pg.astype(jnp.float32) * gm.astype(jnp.float32),
+                ) * jnp.float32(0.01)
+        scale = kl_clip_scale(vg_sum, 0.001) if kl else jnp.float32(1.0)
         for bucket in precond._plan:
             pg = (pgs[bucket.key] * scale).astype(dts[bucket.key])
             root = precond._write_bucket_grads(bucket, root, pg)
         return root
 
-    def direct_body(carry: Any, _: Any):
-        p, bn, o = carry
-        (loss, bn2), grads = grad_fn(p, bn, x, y)
-        pgrads = stages_345(grads)
-        updates, o = tx.update(pgrads, o)
-        return (optax.apply_updates(p, updates), bn2, o), loss
+    def make_body(kl: bool, matmuls: bool):
+        def body(carry: Any, _: Any):
+            p, bn, o = carry
+            loss, bn2, grads = fwd_bwd(p, bn)
+            pgrads = stages_345(grads, kl, matmuls)
+            updates, o = tx.update(pgrads, o)
+            return (optax.apply_updates(p, updates), bn2, o), loss
 
-    t_direct = timed_scan(
-        direct_body, (params, batch_stats, tx.init(params)),
+        return body
+
+    t_stack = timed_scan(make_body(kl=False, matmuls=False), carry0)
+    print(
+        f'stack:   {t_stack*1e3:7.3f} ms  '
+        f'(+{(t_stack-t_sgd)*1e3:.3f} stack/write-back traffic)',
     )
+    t_nokl = timed_scan(make_body(kl=False, matmuls=True), carry0)
+    print(
+        f'nokl:    {t_nokl*1e3:7.3f} ms  '
+        f'(+{(t_nokl-t_stack)*1e3:.3f} precondition matmuls)',
+    )
+    t_direct = timed_scan(make_body(kl=True, matmuls=True), carry0)
     print(
         f'direct:  {t_direct*1e3:7.3f} ms  '
-        f'(+{(t_direct-t_sgd)*1e3:.3f} stages 3-5 math)',
+        f'(+{(t_direct-t_nokl)*1e3:.3f} KL clip; '
+        f'+{(t_direct-t_sgd)*1e3:.3f} stages 3-5 math total)',
     )
 
     # Full step with the never-taken inv cond.
@@ -143,7 +179,7 @@ def main() -> None:
 
     def step_body(carry: Any, _: Any):
         p, bn, o, ks = carry
-        (loss, bn2), grads = grad_fn(p, bn, x, y)
+        loss, bn2, grads = fwd_bwd(p, bn)
         pgrads, ks = pni.step(ks, grads, None)
         updates, o = tx.update(pgrads, o)
         return (optax.apply_updates(p, updates), bn2, o, ks), loss

@@ -200,6 +200,75 @@ class TestRefineEigh:
         assert precond_residual(a2[None], v, w, lam) < 3e-2
 
 
+class TestFinalOrth:
+    """Adaptive final orthonormalization (final_orth='auto'): one
+    Newton-Schulz step at steady state (matmul-only -- skips the
+    latency-bound cholesky/triangular_solve), exact CholeskyQR on cold
+    starts. Branch selection is pinned by equality with the forced
+    variants."""
+
+    @staticmethod
+    def _steady(d: int = 96) -> tuple[np.ndarray, np.ndarray, float]:
+        a = make_factors(d, 3)
+        _, v0 = np.linalg.eigh(np.asarray(a, np.float64))
+        drift = 0.9 * a + 0.1 * make_factors(d, 3, seed=1)
+        for _ in range(10):
+            a = 0.95 * a + 0.05 * drift
+        lam = 3e-3 * float(np.trace(a[0]) / d)
+        return a, v0.astype(np.float32), lam
+
+    def test_steady_state_takes_ns_branch(self) -> None:
+        a, v0, lam = self._steady()
+        v_auto, w_auto = refine_eigh(
+            jnp.asarray(a), jnp.asarray(v0), lam, n_iter=2,
+            final_orth='auto',
+        )
+        v_ns, w_ns = refine_eigh(
+            jnp.asarray(a), jnp.asarray(v0), lam, n_iter=2,
+            final_orth='ns',
+        )
+        np.testing.assert_array_equal(np.asarray(v_auto), np.asarray(v_ns))
+        np.testing.assert_array_equal(np.asarray(w_auto), np.asarray(w_ns))
+        assert orth_error(v_auto) < 1e-5
+        assert precond_residual(a, v_auto, w_auto, lam) < 3e-2
+
+    def test_cold_start_takes_cholqr_branch(self) -> None:
+        d = 64
+        a = make_factors(d, 2)
+        rng = np.random.default_rng(7)
+        q, _ = np.linalg.qr(rng.standard_normal((2, d, d)))
+        q = q.astype(np.float32)
+        lam = 3e-3 * float(np.trace(a[0]) / d)
+        v_auto, w_auto = refine_eigh(
+            jnp.asarray(a), jnp.asarray(q), lam, n_iter=2,
+            final_orth='auto',
+        )
+        v_cqr, w_cqr = refine_eigh(
+            jnp.asarray(a), jnp.asarray(q), lam, n_iter=2,
+            final_orth='cholqr',
+        )
+        np.testing.assert_array_equal(np.asarray(v_auto), np.asarray(v_cqr))
+        np.testing.assert_array_equal(np.asarray(w_auto), np.asarray(w_cqr))
+        assert orth_error(v_auto) < 1e-5
+
+    def test_cholqr_matches_legacy_contract(self) -> None:
+        a, v0, lam = self._steady()
+        v, w = refine_eigh(
+            jnp.asarray(a), jnp.asarray(v0), lam, n_iter=3,
+            final_orth='cholqr',
+        )
+        assert orth_error(v) < 1e-5
+        assert precond_residual(a, v, w, lam) < 3e-2
+
+    def test_unknown_final_orth_raises(self) -> None:
+        a, v0, lam = self._steady(d=16)
+        with pytest.raises(ValueError, match='final_orth'):
+            refine_eigh(
+                jnp.asarray(a), jnp.asarray(v0), lam, n_iter=1,
+                final_orth='qr',
+            )
+
+
 def test_refine_mixed_precision_matches_high() -> None:
     """'mixed' (single-bf16-pass rotations) must track the 'high'
     refresh on realistic spectra. On CPU all precisions lower to f32 so
