@@ -97,6 +97,10 @@ def main() -> None:
     state = precond.init()
     factors = precond._update_factors(state.factors, captured, 0.95)
     state = state.replace(factors=factors)
+    # Only the factor/bucket state matters from here; free the training
+    # tensors (grads + captured + params are several GB on the LM
+    # workload and OOM the refresh timing otherwise).
+    del grads, captured, params, model, x, y, built
     damping = 0.003
 
     from kfac_pytorch_tpu.ops.refine import refine_eigh
