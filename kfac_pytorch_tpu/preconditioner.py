@@ -841,27 +841,109 @@ class KFACPreconditioner:
         layout so no transposes are materialized:
         ``M_hat = Qa [(Qa^T M Qg) / (da dg^T + damping)] Qg^T``.
         """
-        g32 = grad_mats.astype(self.inv_dtype)
-        kw = dict(
+        half, _ = self._precondition_half(
+            bucket, bs, grad_mats, damping, need_vg=False,
+        )
+        return self._finish_bucket(bucket, bs, half, None)
+
+    def _einsum_kw(self) -> dict[str, Any]:
+        return dict(
             preferred_element_type=jnp.float32,
             precision=self.precondition_precision,
         )
+
+    def _inter_dtype(self) -> Any:
+        """Storage dtype for precondition intermediates (v1/v2).
+
+        Under ``Precision.DEFAULT`` every matmul input is truncated to
+        bf16 on the MXU anyway, so materializing the chained-einsum
+        intermediates at f32 only spends HBM bandwidth on mantissa bits
+        the next matmul discards -- carry them at ``inv_dtype`` (the
+        dtype the eigenbases are already stored in). Accumulation stays
+        f32 (``preferred_element_type``), elementwise divisor math stays
+        f32, and the KL inner product is reduced in f32. Under
+        HIGH/HIGHEST precision intermediates stay f32 (the multi-pass
+        algorithms genuinely consume the extra bits).
+        """
+        if self.precondition_precision == jax.lax.Precision.DEFAULT:
+            return self.inv_dtype
+        return jnp.float32
+
+    def _precondition_half(
+        self,
+        bucket: Bucket,
+        bs: BucketState,
+        grad_mats: jax.Array,
+        damping: Any,
+        need_vg: bool,
+    ) -> tuple[jax.Array, jax.Array | None]:
+        """First half of preconditioning: everything before the KL scale.
+
+        For the eigen method returns the scaled eigenbasis coefficients
+        ``v2 = (Qa^T M Qg) / (da dg^T + damping)`` -- the final rotation
+        back (``Qa v2 Qg^T``) is deferred to :meth:`_finish_bucket` so the
+        KL-clip scale (a function of ALL buckets) can be folded into the
+        closing einsums instead of costing an extra full pass over ``pg``.
+
+        ``vg`` is the bucket's KL inner product ``<pg, grads> = sum(pg*M)``.
+        In the eigenbasis it is computed for free by trace cyclicity:
+        ``<Qa v2 Qg^T, M> = <v2, Qa^T M Qg> = <v2, v1>`` (exact -- no
+        orthogonality assumption), avoiding an HBM pass over both ``pg``
+        and ``grad_mats`` (reference computes it on materialized grads,
+        ``kfac/base_preconditioner.py:411-435``).
+        """
+        g32 = grad_mats.astype(self.inv_dtype)
+        kw = self._einsum_kw()
+        it = self._inter_dtype()
+        vg = None
         if self.compute_method == ComputeMethod.EIGEN:
-            v1 = jnp.einsum('bji,bjk->bik', bs.qa, g32, **kw)  # qa^T M
+            v1 = jnp.einsum(
+                'bji,bjk->bik', bs.qa, g32, **kw,
+            ).astype(it)  # qa^T M
             v1 = jnp.einsum('bik,bkl->bil', v1, bs.qg, **kw)  # ... qg
             if self.prediv_eigenvalues:
-                v2 = v1 * bs.dgda
+                v2 = v1 * bs.dgda.astype(v1.dtype)
             else:
+                # Divisor built in f32 (damping ~1e-3 against O(1)
+                # eigenvalues deserves the mantissa); result stored at
+                # the intermediate dtype -- one fused elementwise pass.
                 v2 = v1 / (
-                    bs.da[:, :, None] * bs.dg[:, None, :] + damping
-                )
-            pg = jnp.einsum('bij,bjk->bik', bs.qa, v2, **kw)  # qa v2
+                    bs.da.astype(jnp.float32)[:, :, None]
+                    * bs.dg.astype(jnp.float32)[:, None, :]
+                    + damping
+                ).astype(v1.dtype)
+            if need_vg:
+                vg = jnp.sum(v1.astype(jnp.float32) * v2.astype(jnp.float32))
+            return v2.astype(it), vg
+        # (A^-1 M) G^-1 with symmetric inverses: no eigenbasis to hide the
+        # inner product in -- compute pg fully here and take <pg, M>.
+        pg = jnp.einsum('bij,bjk->bik', bs.a_inv, g32, **kw)
+        pg = jnp.einsum('bik,bkl->bil', pg, bs.g_inv, **kw)
+        if need_vg:
+            vg = jnp.sum(pg.astype(jnp.float32) * g32.astype(jnp.float32))
+        return pg, vg
+
+    def _finish_bucket(
+        self,
+        bucket: Bucket,
+        bs: BucketState,
+        half: jax.Array,
+        scale: jax.Array | None,
+    ) -> jax.Array:
+        """Close the preconditioning after the KL scale is known.
+
+        The scale multiplies the small-rotation coefficients BEFORE the
+        closing einsums (scalar commutes with the linear maps), so XLA
+        fuses it into the matmul epilogue rather than re-reading ``pg``.
+        """
+        if scale is not None:
+            half = half * scale
+        if self.compute_method == ComputeMethod.EIGEN:
+            kw = self._einsum_kw()
+            pg = jnp.einsum('bij,bjk->bik', bs.qa, half, **kw)  # qa v2
             pg = jnp.einsum('bik,blk->bil', pg, bs.qg, **kw)  # ... qg^T
-        else:
-            # (A^-1 M) G^-1 with symmetric inverses.
-            pg = jnp.einsum('bij,bjk->bik', bs.a_inv, g32, **kw)
-            pg = jnp.einsum('bik,bkl->bil', pg, bs.g_inv, **kw)
-        return pg
+            return pg
+        return half
 
     def _grad_mats_for_bucket(
         self,
@@ -922,6 +1004,7 @@ class KFACPreconditioner:
         grads: Any,
         captured: Captured | None = None,
         force_factor_update: bool = False,
+        refresh: str = 'auto',
     ) -> tuple[Any, KFACState]:
         """One K-FAC step: update factors, refresh inverses, precondition.
 
@@ -937,10 +1020,21 @@ class KFACPreconditioner:
                 over accumulation microbatches via ``accumulate_captures``).
                 Pass None to skip the factor-update stage entirely, e.g.
                 when the caller gates capture in Python for speed.
+            refresh: second-order refresh gating. ``'auto'`` compiles the
+                ``steps % inv_update_steps == 0`` gate as a ``lax.cond``
+                (both branches in the program -- the reference's dynamic
+                check, ``base_preconditioner.py:340``). ``'force'`` /
+                ``'skip'`` bake the decision in at trace time for callers
+                that schedule the refresh in Python or at static scan
+                positions (``train.make_period_train_step``): the cond --
+                and its measured state-threading cost on large models --
+                disappears from the compiled step.
 
         Returns:
             ``(preconditioned_grads, new_state)``.
         """
+        if refresh not in ('auto', 'force', 'skip'):
+            raise ValueError(f'Unknown refresh={refresh!r}')
         steps = state.steps
         damping = self._hp(state, 'damping')
         decay = self._hp(state, 'factor_decay')
@@ -965,12 +1059,15 @@ class KFACPreconditioner:
             state = state.replace(factors=factors)
 
         # Stage 2: second-order info (eigendecomp or damped inverse).
-        ius = self._hp(state, 'inv_update_steps')
-        if self._static_one('inv_update_steps'):
+        if refresh == 'force' or (
+            refresh == 'auto' and self._static_one('inv_update_steps')
+        ):
             buckets = self._compute_second_order(
                 state.buckets, state.factors, damping,
             )
-        else:
+            state = state.replace(buckets=buckets)
+        elif refresh == 'auto':
+            ius = self._hp(state, 'inv_update_steps')
             buckets = jax.lax.cond(
                 (steps % ius) == 0,
                 lambda bs: self._compute_second_order(
@@ -979,25 +1076,28 @@ class KFACPreconditioner:
                 lambda bs: bs,
                 state.buckets,
             )
-        state = state.replace(buckets=buckets)
+            state = state.replace(buckets=buckets)
+        # refresh == 'skip': buckets pass through untouched.
 
-        # Stage 3: precondition gradients (batched per bucket).
+        # Stage 3: precondition gradients (batched per bucket) up to the
+        # KL scale -- the closing rotation is deferred so the scale folds
+        # into the final einsums (see _precondition_half/_finish_bucket).
         root = params_root(grads, self._first_component)
         vg_sum = jnp.zeros((), jnp.float32)
-        pg_by_bucket: dict[str, jax.Array] = {}
+        half_by_bucket: dict[str, jax.Array] = {}
         gm_dtypes: dict[str, Any] = {}
         for bucket in self._plan:
             grad_mats = self._grad_mats_for_bucket(bucket, root)
             bs = state.buckets[bucket.key]
-            pg = self._precondition_bucket(bucket, bs, grad_mats, damping)
-            pg = self._constrain(pg, 'precond_grad')
-            pg_by_bucket[bucket.key] = pg
+            half, vg = self._precondition_half(
+                bucket, bs, grad_mats, damping,
+                need_vg=self._kl_clip is not None,
+            )
+            half = self._constrain(half, 'precond_grad')
+            half_by_bucket[bucket.key] = half
             gm_dtypes[bucket.key] = grad_mats.dtype
-            if self._kl_clip is not None:
-                vg_sum = vg_sum + jnp.sum(
-                    pg.astype(jnp.float32)
-                    * grad_mats.astype(jnp.float32),
-                ) * jnp.asarray(lr, jnp.float32) ** 2
+            if vg is not None:
+                vg_sum = vg_sum + vg * jnp.asarray(lr, jnp.float32) ** 2
 
         # Stage 4: KL clip scale (reference base_preconditioner.py:411-435).
         if self._kl_clip is not None:
@@ -1006,11 +1106,13 @@ class KFACPreconditioner:
         else:
             scale = None
 
-        # Stage 5: write the preconditioned gradients back into the pytree.
+        # Stage 5: close the preconditioning and write back into the tree.
         for bucket in self._plan:
-            pg = pg_by_bucket[bucket.key]
-            if scale is not None:
-                pg = pg * scale
+            bs = state.buckets[bucket.key]
+            pg = self._finish_bucket(
+                bucket, bs, half_by_bucket[bucket.key], scale,
+            )
+            pg = self._constrain(pg, 'precond_grad')
             pg = pg.astype(gm_dtypes[bucket.key])
             root = self._write_bucket_grads(bucket, root, pg)
 

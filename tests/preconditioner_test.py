@@ -153,6 +153,74 @@ def test_no_kl_clip() -> None:
     ).all()
 
 
+@pytest.mark.parametrize('compute_method', ['eigen', 'inverse'])
+@pytest.mark.parametrize('prediv', [True, False])
+def test_kl_clip_trace_identity(compute_method: str, prediv: bool) -> None:
+    """The deferred-scale step equals the direct formulation.
+
+    ``step`` computes the KL inner product in the eigenbasis
+    (``<Qa v2 Qg^T, M> = <v2, Qa^T M Qg>``, trace cyclicity) and folds
+    the scale into the closing einsums. This pins it against the
+    materialized reference formulation (``base_preconditioner.py:411-435``):
+    pg = precondition(grads); scale = min(1, sqrt(kl/|sum(pg*g*lr^2)|));
+    write back pg*scale.
+    """
+    if compute_method == 'inverse' and prediv:
+        pytest.skip('prediv only applies to eigen')
+    from kfac_pytorch_tpu.ops.curvature import kl_clip_scale
+    from kfac_pytorch_tpu.utils.tree import params_root
+
+    lr, kl_clip = 0.1, 1e-4  # small kl_clip so the scale branch is active
+    model, params, precond, loss_fn, x, y = _setup(
+        compute_method=compute_method,
+        compute_eigenvalue_outer_product=prediv,
+        lr=lr,
+        kl_clip=kl_clip,
+    )
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    # Warm the second-order state so preconditioning is non-trivial.
+    _, state = precond.step(state, grads, captured)
+
+    pgrads, _ = precond.step(state, grads, captured=None)
+
+    # Direct formulation on the same (post-refresh) bucket state.
+    root = params_root(grads, precond._first_component)
+    damping = precond._damping
+    pgs, vg_sum = {}, jnp.zeros((), jnp.float32)
+    for bucket in precond.plan:
+        gm = precond._grad_mats_for_bucket(bucket, root)
+        bs = state.buckets[bucket.key]
+        pg = precond._precondition_bucket(bucket, bs, gm, damping)
+        pgs[bucket.key] = (pg, gm.dtype)
+        vg_sum = vg_sum + jnp.sum(
+            pg.astype(jnp.float32) * gm.astype(jnp.float32),
+        ) * jnp.float32(lr) ** 2
+    scale = kl_clip_scale(vg_sum, kl_clip)
+    assert float(scale) < 1.0  # the clip must actually engage
+    for bucket in precond.plan:
+        pg, dt = pgs[bucket.key]
+        root = precond._write_bucket_grads(
+            bucket, root, (pg * scale).astype(dt),
+        )
+
+    for name in precond.specs:
+        path = precond._paths[name]
+        sub_expect = root
+        sub_got = params_root(pgrads, precond._first_component)
+        for p in path:
+            sub_expect = sub_expect[p]
+            sub_got = sub_got[p]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            ),
+            sub_got,
+            sub_expect,
+        )
+
+
 def test_step_without_capture_skips_factor_update() -> None:
     model, params, precond, loss_fn, x, y = _setup()
     state = precond.init()

@@ -101,6 +101,102 @@ def test_scan_matches_eager_loop() -> None:
     )
 
 
+def test_period_step_matches_gated_step() -> None:
+    """The static period schedule equals the dynamically-gated scan.
+
+    Two full refresh periods (fus=2, ius=4): capture at steps 0,2,4,6,
+    refresh at steps 0 and 4 -- the cond-free program must produce the
+    identical trajectory.
+    """
+    from kfac_pytorch_tpu.train import make_period_train_step
+
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10), 10,
+    )
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        return optax.softmax_cross_entropy(model.apply(p, bx), by).mean()
+
+    precond = KFACPreconditioner(
+        model,
+        example_args=(x,),
+        lr=0.1,
+        damping=0.003,
+        factor_update_steps=2,
+        inv_update_steps=4,
+    )
+    tx = optax.sgd(0.1)
+
+    # 8 distinct batches so gating mistakes cannot cancel out.
+    xs = jax.random.normal(jax.random.PRNGKey(3), (8, *x.shape))
+    ys = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(4), (8,), 0, 10), 10,
+    )
+
+    gated = make_train_step(precond, loss_fn, tx)
+    carry_g = KFACTrainCarry(params, tx.init(params), precond.init())
+    carry_g, losses_g = jax.jit(
+        lambda c, b: scan_train(gated, c, b),
+    )(carry_g, (xs, ys))
+
+    period = make_period_train_step(precond, loss_fn, tx)
+    carry_p = KFACTrainCarry(params, tx.init(params), precond.init())
+    pb = (
+        xs.reshape(2, 4, *xs.shape[1:]),
+        ys.reshape(2, 4, *ys.shape[1:]),
+    )
+    carry_p, losses_p = jax.jit(
+        lambda c, b: jax.lax.scan(period, c, b),
+    )(carry_p, pb)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_p).reshape(-1),
+        np.asarray(losses_g),
+        rtol=2e-5,
+    )
+    assert int(carry_p.kfac_state.steps) == 8
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+        ),
+        carry_p.params,
+        carry_g.params,
+    )
+    # Second-order state advanced identically (refresh at steps 0 and 4).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(b, np.float32),
+            atol=1e-5,
+        ),
+        carry_p.kfac_state.buckets,
+        carry_g.kfac_state.buckets,
+    )
+
+
+def test_period_step_validation() -> None:
+    from kfac_pytorch_tpu.train import make_period_train_step
+
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    precond = KFACPreconditioner(
+        model, example_args=(x,), factor_update_steps=3, inv_update_steps=4,
+    )
+    with pytest.raises(ValueError, match='multiple'):
+        make_period_train_step(precond, lambda p, a, b: 0.0, optax.sgd(0.1))
+    precond2 = KFACPreconditioner(
+        model,
+        example_args=(x,),
+        factor_update_steps=lambda s: 2,
+        inv_update_steps=4,
+    )
+    with pytest.raises(ValueError, match='static int'):
+        make_period_train_step(precond2, lambda p, a, b: 0.0, optax.sgd(0.1))
+
+
 def test_train_step_supports_callable_fus() -> None:
     """Callable update intervals resolve on the traced step counter."""
     _, params, precond, tx, loss_fn, x, y = _setup()
