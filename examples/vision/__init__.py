@@ -1,0 +1,1 @@
+"""Vision example components: datasets, models, engine, optimizers."""

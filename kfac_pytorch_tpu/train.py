@@ -32,6 +32,88 @@ class KFACTrainCarry(NamedTuple):
     extra: Any = None  # e.g. batch_stats; threaded through loss_fn aux
 
 
+def _check_accum_axes(batch: tuple[Any, ...], accum: int) -> None:
+    # The microbatch loop divides by accumulation_steps; a batch leaf
+    # whose leading axis disagrees would silently mis-scale the
+    # averages, so fail at trace time instead.
+    for leaf in jax.tree.leaves(batch):
+        if leaf.shape[0] != accum:
+            raise ValueError(
+                f'with accumulation_steps={accum} every batch leaf '
+                'must carry a leading microbatch axis of that size; '
+                f'got leading axis {leaf.shape[0]} on a leaf of shape '
+                f'{leaf.shape}',
+            )
+
+
+def _accum_loop(
+    precond: KFACPreconditioner,
+    vag: Callable[..., Any],
+    grad_fn: Callable[..., Any],
+    has_aux: bool,
+    do_capture: bool,
+    params: Any,
+    extra0: Any,
+    batch: tuple[Any, ...],
+    factors: Any,
+    decay: Any,
+) -> tuple[tuple[Any, Any], Any, Any]:
+    """Serialized microbatch fwd/bwd with optional capture + factor EMA.
+
+    Microbatch i = leaf[i] of each batch leaf; aux (e.g. BN stats)
+    threads sequentially through the microbatches. Microbatches 1..
+    run under ``lax.scan`` rather than a Python unroll: the scan carry
+    serializes them, so peak HBM is ONE microbatch's fwd/bwd (+ capture
+    transients). The unrolled variant let XLA overlap the microbatches'
+    buffer liveness and OOMed ResNet-50 2x128 on 16 GB. The reference's
+    ``no_sync`` accumulation loop (``kfac/layers/base.py:338-405`` of
+    gpauloski/kfac-pytorch) as a compiled scan.
+    """
+    import jax.numpy as jnp
+
+    accum = precond.accumulation_steps
+
+    def one(extra: Any, mb: tuple[Any, ...]):
+        margs = ((extra,) if has_aux else ()) + mb
+        if do_capture:
+            (loss, aux), g, c = vag(params, *margs)
+        elif has_aux:
+            (loss, aux), g = grad_fn(params, *margs)
+            c = None
+        else:
+            loss, g = grad_fn(params, *margs)
+            aux, c = None, None
+        return loss, (aux if has_aux else None), g, c
+
+    mb0 = tuple(jax.tree.map(lambda leaf: leaf[0], b) for b in batch)
+    loss0, aux0, g0, c0 = one(extra0, mb0)
+    extra = aux0 if has_aux else extra0
+    loss_sum, grads_acc, caps_acc = loss0, g0, c0
+    if accum > 1:
+        rest = tuple(
+            jax.tree.map(lambda leaf: leaf[1:], b) for b in batch
+        )
+
+        def body(acc: Any, mb: tuple[Any, ...]):
+            loss_sum, extra, grads_acc, caps_acc = acc
+            loss, aux, g, c = one(extra, mb)
+            if has_aux:
+                extra = aux
+            grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+            if do_capture:
+                caps_acc = jax.tree.map(jnp.add, caps_acc, c)
+            return (loss_sum + loss, extra, grads_acc, caps_acc), None
+
+        (loss_sum, extra, grads_acc, caps_acc), _ = jax.lax.scan(
+            body, (loss_sum, extra, grads_acc, caps_acc), rest,
+        )
+    grads = jax.tree.map(lambda x: x / accum, grads_acc)
+    if do_capture:
+        mean_caps = jax.tree.map(lambda x: x / accum, caps_acc)
+        factors = precond._update_factors(factors, mean_caps, decay)
+    return (loss_sum / accum, extra), grads, factors
+
+
 def make_train_step(
     precond: KFACPreconditioner,
     loss_fn: Callable[..., Any],
@@ -83,84 +165,26 @@ def make_train_step(
     ) -> tuple[KFACTrainCarry, jax.Array]:
         state = carry.kfac_state
         if accum > 1:
-            # The microbatch loop divides by accumulation_steps; a batch
-            # leaf whose leading axis disagrees would silently mis-scale
-            # the averages, so fail at trace time instead.
-            for leaf in jax.tree.leaves(batch):
-                if leaf.shape[0] != accum:
-                    raise ValueError(
-                        f'with accumulation_steps={accum} every batch '
-                        'leaf must carry a leading microbatch axis of '
-                        f'that size; got leading axis {leaf.shape[0]} '
-                        f'on a leaf of shape {leaf.shape}',
-                    )
+            _check_accum_axes(batch, accum)
         args = ((carry.extra,) if has_aux else ()) + tuple(batch)
         decay = precond._hp(state, 'factor_decay')
 
-        def _accum_loop(do_capture: bool, factors: Any):
-            # Microbatch i = leaf[i] of each batch leaf; aux (e.g. BN
-            # stats) threads sequentially through the microbatches.
-            # Microbatches 1.. run under ``lax.scan`` rather than a
-            # Python unroll: the scan carry serializes them, so peak HBM
-            # is ONE microbatch's fwd/bwd (+ capture transients). The
-            # unrolled variant let XLA overlap the microbatches' buffer
-            # liveness and OOMed ResNet-50 2x128 on 16 GB.
-            import jax.numpy as jnp
-
-            def one(extra: Any, mb: tuple[Any, ...]):
-                margs = ((extra,) if has_aux else ()) + mb
-                if do_capture:
-                    (loss, aux), g, c = vag(carry.params, *margs)
-                elif has_aux:
-                    (loss, aux), g = grad_fn(carry.params, *margs)
-                    c = None
-                else:
-                    loss, g = grad_fn(carry.params, *margs)
-                    aux, c = None, None
-                return loss, (aux if has_aux else None), g, c
-
-            mb0 = tuple(
-                jax.tree.map(lambda leaf: leaf[0], b) for b in batch
-            )
-            loss0, aux0, g0, c0 = one(carry.extra, mb0)
-            extra = aux0 if has_aux else carry.extra
-            loss_sum, grads_acc, caps_acc = loss0, g0, c0
-            if accum > 1:
-                rest = tuple(
-                    jax.tree.map(lambda leaf: leaf[1:], b) for b in batch
-                )
-
-                def body(acc: Any, mb: tuple[Any, ...]):
-                    loss_sum, extra, grads_acc, caps_acc = acc
-                    loss, aux, g, c = one(extra, mb)
-                    if has_aux:
-                        extra = aux
-                    grads_acc = jax.tree.map(jnp.add, grads_acc, g)
-                    if do_capture:
-                        caps_acc = jax.tree.map(jnp.add, caps_acc, c)
-                    return (loss_sum + loss, extra, grads_acc, caps_acc), None
-
-                (loss_sum, extra, grads_acc, caps_acc), _ = jax.lax.scan(
-                    body, (loss_sum, extra, grads_acc, caps_acc), rest,
-                )
-            grads = jax.tree.map(lambda x: x / accum, grads_acc)
-            if do_capture:
-                mean_caps = jax.tree.map(lambda x: x / accum, caps_acc)
-                factors = precond._update_factors(
-                    factors, mean_caps, decay,
-                )
-            return (loss_sum / accum, extra), grads, factors
-
         def cap_branch(factors: Any):
             if accum > 1:
-                return _accum_loop(True, factors)
+                return _accum_loop(
+                    precond, vag, grad_fn, has_aux, True,
+                    carry.params, carry.extra, batch, factors, decay,
+                )
             (loss, aux), grads, captured = vag(carry.params, *args)
             new_factors = precond._update_factors(factors, captured, decay)
             return (loss, aux), grads, new_factors
 
         def fast_branch(factors: Any):
             if accum > 1:
-                return _accum_loop(False, factors)
+                return _accum_loop(
+                    precond, vag, grad_fn, has_aux, False,
+                    carry.params, carry.extra, batch, factors, decay,
+                )
             if has_aux:
                 (loss, aux), grads = grad_fn(carry.params, *args)
             else:
@@ -235,8 +259,9 @@ def make_period_train_step(
 
     Returns ``period_step(carry, batches) -> (carry, losses)`` where each
     ``batches`` leaf carries a leading axis of size ``inv_update_steps``
-    and ``losses`` has that length. Use with ``jax.lax.scan`` over
-    period-chunked epochs.
+    (with ``accumulation_steps > 1``, a microbatch axis of that size
+    follows it) and ``losses`` has length ``inv_update_steps``. Use with
+    ``jax.lax.scan`` over period-chunked epochs.
 
     Note: the update INTERVALS are baked into the compiled schedule --
     a ``LambdaParamScheduler`` interval lambda cannot retarget them (its
@@ -260,11 +285,7 @@ def make_period_train_step(
             f'inv_update_steps ({ius}) must be a multiple of '
             f'factor_update_steps ({fus}) for the static period schedule',
         )
-    if precond.accumulation_steps > 1:
-        raise ValueError(
-            'make_period_train_step does not support accumulation_steps '
-            '> 1 yet; use make_train_step',
-        )
+    accum = precond.accumulation_steps
     vag = precond.value_and_grad(loss_fn, has_aux=has_aux)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
 
@@ -285,25 +306,46 @@ def make_period_train_step(
         refresh: str,
     ) -> tuple[KFACTrainCarry, jax.Array]:
         state = carry.kfac_state
-        args = ((carry.extra,) if has_aux else ()) + tuple(batch)
-        (loss, aux), grads, captured = vag(carry.params, *args)
         decay = precond._hp(state, 'factor_decay')
-        factors = precond._update_factors(state.factors, captured, decay)
+        if accum > 1:
+            _check_accum_axes(batch, accum)
+            (loss, extra), grads, factors = _accum_loop(
+                precond, vag, grad_fn, has_aux, True,
+                carry.params, carry.extra, batch, state.factors, decay,
+            )
+            if not has_aux:
+                extra = carry.extra
+        else:
+            args = ((carry.extra,) if has_aux else ()) + tuple(batch)
+            (loss, aux), grads, captured = vag(carry.params, *args)
+            factors = precond._update_factors(
+                state.factors, captured, decay,
+            )
+            extra = aux if has_aux else carry.extra
         state = state.replace(factors=factors)
-        extra = aux if has_aux else carry.extra
         return _finish(carry, state, grads, extra, refresh), loss
 
     def plain_step(
         carry: KFACTrainCarry,
         batch: tuple[Any, ...],
     ) -> tuple[KFACTrainCarry, jax.Array]:
-        args = ((carry.extra,) if has_aux else ()) + tuple(batch)
-        if has_aux:
-            (loss, aux), grads = grad_fn(carry.params, *args)
-            extra = aux
+        if accum > 1:
+            _check_accum_axes(batch, accum)
+            (loss, extra), grads, _ = _accum_loop(
+                precond, vag, grad_fn, has_aux, False,
+                carry.params, carry.extra, batch,
+                carry.kfac_state.factors, None,
+            )
+            if not has_aux:
+                extra = carry.extra
         else:
-            loss, grads = grad_fn(carry.params, *args)
-            extra = carry.extra
+            args = ((carry.extra,) if has_aux else ()) + tuple(batch)
+            if has_aux:
+                (loss, aux), grads = grad_fn(carry.params, *args)
+                extra = aux
+            else:
+                loss, grads = grad_fn(carry.params, *args)
+                extra = carry.extra
         return _finish(carry, carry.kfac_state, grads, extra, 'skip'), loss
 
     def chunk(

@@ -24,7 +24,10 @@ if not os.path.isdir(os.path.join(REFERENCE_PATH, 'kfac')):
     pytest.skip(
         'reference checkout not available', allow_module_level=True,
     )
-sys.path.insert(0, REFERENCE_PATH)
+# Append (not prepend): the reference checkout also contains an
+# ``examples`` package which would otherwise shadow this repo's
+# ``examples`` for test modules collected after this one.
+sys.path.append(REFERENCE_PATH)
 
 # The reference's __init__ resolves its version from installed package
 # metadata; it is not installed here, so shim the lookup.

@@ -177,6 +177,65 @@ def test_period_step_matches_gated_step() -> None:
     )
 
 
+def test_period_step_with_accumulation_matches_gated() -> None:
+    """Period schedule + microbatch accumulation == gated accumulation."""
+    from kfac_pytorch_tpu.train import make_period_train_step
+
+    model = TinyModel()
+    accum, fus, ius, n = 2, 2, 4, 8
+    params = model.init(
+        jax.random.PRNGKey(2), jnp.zeros((4, 8)),
+    )
+
+    def loss_fn(p, bx, by):
+        return optax.softmax_cross_entropy(model.apply(p, bx), by).mean()
+
+    precond = KFACPreconditioner(
+        model,
+        example_args=(jnp.zeros((4, 8)),),
+        lr=0.1,
+        damping=0.003,
+        factor_update_steps=fus,
+        inv_update_steps=ius,
+        accumulation_steps=accum,
+    )
+    tx = optax.sgd(0.1)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (n, accum, 4, 8))
+    ys = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(4), (n, accum, 4), 0, 10),
+        10,
+    )
+
+    gated = make_train_step(precond, loss_fn, tx)
+    carry_g = KFACTrainCarry(params, tx.init(params), precond.init())
+    carry_g, losses_g = jax.jit(
+        lambda c, b: scan_train(gated, c, b),
+    )(carry_g, (xs, ys))
+
+    period = make_period_train_step(precond, loss_fn, tx)
+    carry_p = KFACTrainCarry(params, tx.init(params), precond.init())
+    pb = (
+        xs.reshape(n // ius, ius, accum, 4, 8),
+        ys.reshape(n // ius, ius, accum, 4, 10),
+    )
+    carry_p, losses_p = jax.jit(
+        lambda c, b: jax.lax.scan(period, c, b),
+    )(carry_p, pb)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_p).reshape(-1),
+        np.asarray(losses_g),
+        rtol=2e-5,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+        ),
+        carry_p.params,
+        carry_g.params,
+    )
+
+
 def test_period_step_validation() -> None:
     from kfac_pytorch_tpu.train import make_period_train_step
 
