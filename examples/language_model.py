@@ -52,6 +52,17 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--kfac-gram-method', type=str, default='full',
                    choices=['full', 'tri', 'auto'],
                    help='Gram contraction scheme for the covariances')
+    p.add_argument('--force-cpu', action='store_true',
+                   help='run on the (virtual multi-device) CPU platform '
+                        'even when a TPU plugin is registered')
+    p.add_argument('--kfac-static-period', action='store_true',
+                   help='compile the K-FAC update schedule statically '
+                        '(make_period_train_step): one dispatch per '
+                        'inv_update_steps batches, zero in-graph gating '
+                        'conds. Measured ~2 ms/step faster than the '
+                        'dynamically gated step on the LM bench workload '
+                        '(docs/PERF_NOTES.md). Requires steps-per-epoch '
+                        'divisible by inv-update-steps.')
     return p.parse_args()
 
 
@@ -84,8 +95,10 @@ def main() -> None:
 
     from examples.utils import maybe_init_distributed
 
-    maybe_init_distributed()
     args = parse_args()
+    if args.force_cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    maybe_init_distributed()
     rng = np.random.default_rng(args.seed)
     stream = token_stream(args)
     split = int(len(stream) * 0.95)
@@ -170,27 +183,77 @@ def main() -> None:
     def eval_step(params, bx, by):
         return loss_fn(params, bx, by)
 
-    def put(a):
+    def put(a, sharding=None):
         from examples.utils import shard_batch
 
-        return shard_batch(a, data_sharding)
+        return shard_batch(a, data_sharding if sharding is None else sharding)
+
+    # Static-period schedule: one dispatch per inv_update_steps batches
+    # with the whole K-FAC update cadence baked into the compiled program
+    # (no lax.cond gating; measured ~2 ms/step faster on the LM bench
+    # workload, docs/PERF_NOTES.md). The dynamic two-function gating above
+    # stays the default because it tolerates arbitrary step counts and
+    # scheduled intervals.
+    period_step = None
+    if args.kfac_static_period:
+        if precond is None:
+            raise SystemExit(
+                '--kfac-static-period requires K-FAC '
+                '(--kfac-inv-update-steps > 0)',
+            )
+        if args.steps_per_epoch % args.kfac_inv_update_steps != 0:
+            raise SystemExit(
+                '--kfac-static-period requires --steps-per-epoch '
+                f'({args.steps_per_epoch}) divisible by '
+                f'--kfac-inv-update-steps ({args.kfac_inv_update_steps})',
+            )
+        from kfac_pytorch_tpu.train import (
+            KFACTrainCarry,
+            make_period_train_step,
+        )
+
+        period_step = jax.jit(make_period_train_step(precond, loss_fn, tx))
+        period_sharding = None
+        if data_sharding is not None:
+            from jax.sharding import PartitionSpec
+
+            # Stacked [ius, batch, ...] periods: replicate the scan axis,
+            # shard the batch axis exactly as the per-step path does.
+            period_sharding = NamedSharding(
+                data_sharding.mesh,
+                PartitionSpec(None, *data_sharding.spec),
+            )
+        carry = KFACTrainCarry(params, opt_state, kfac_state, None)
 
     step = 0
     for epoch in range(args.epochs):
         total = 0.0
-        for _ in range(args.steps_per_epoch):
-            bx, by = next(train_iter)
-            bx, by = put(bx), put(by)
-            if precond is not None and precond.should_update_factors(step):
-                params, opt_state, kfac_state, loss = train_step_kfac(
-                    params, opt_state, kfac_state, bx, by,
-                )
-            else:
-                params, opt_state, kfac_state, loss = train_step_plain(
-                    params, opt_state, kfac_state, bx, by,
-                )
-            total += float(loss)
-            step += 1
+        if period_step is not None:
+            ius = args.kfac_inv_update_steps
+            for _ in range(args.steps_per_epoch // ius):
+                pairs = [next(train_iter) for _ in range(ius)]
+                bxs = put(np.stack([p[0] for p in pairs]), period_sharding)
+                bys = put(np.stack([p[1] for p in pairs]), period_sharding)
+                carry, losses = period_step(carry, (bxs, bys))
+                total += float(jnp.sum(losses))
+                step += ius
+            params = carry.params
+        else:
+            for _ in range(args.steps_per_epoch):
+                bx, by = next(train_iter)
+                bx, by = put(bx), put(by)
+                if precond is not None and precond.should_update_factors(
+                    step,
+                ):
+                    params, opt_state, kfac_state, loss = train_step_kfac(
+                        params, opt_state, kfac_state, bx, by,
+                    )
+                else:
+                    params, opt_state, kfac_state, loss = train_step_plain(
+                        params, opt_state, kfac_state, bx, by,
+                    )
+                total += float(loss)
+                step += 1
         val_losses = []
         for _ in range(20):
             bx, by = next(val_iter)

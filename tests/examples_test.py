@@ -159,3 +159,53 @@ def test_pipeline_transformer_cli_smoke() -> None:
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'step     8' in out.stdout, out.stdout
+
+
+def test_language_model_cli_static_period_smoke() -> None:
+    """--kfac-static-period trains through make_period_train_step and
+    reaches the same epoch reporting as the dynamic path."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'language_model.py'),
+            '--epochs', '1', '--steps-per-epoch', '20',
+            '--kfac-inv-update-steps', '10',
+            '--kfac-factor-update-steps', '2',
+            '--dim', '32', '--layers', '1', '--heads', '2',
+            '--ffn-dim', '64', '--seq-len', '16', '--batch-size', '16',
+            '--kfac-static-period', '--force-cpu',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'epoch 0' in out.stdout, out.stdout
+
+
+def test_language_model_cli_static_period_divisibility() -> None:
+    """A non-divisible steps-per-epoch fails loudly, not silently."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'language_model.py'),
+            '--epochs', '1', '--steps-per-epoch', '15',
+            '--kfac-inv-update-steps', '10',
+            '--dim', '32', '--layers', '1', '--heads', '2',
+            '--ffn-dim', '64', '--seq-len', '16', '--batch-size', '16',
+            '--kfac-static-period', '--force-cpu',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=root,
+    )
+    assert out.returncode != 0
+    assert 'divisible' in (out.stderr + out.stdout)
