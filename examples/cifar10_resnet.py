@@ -79,6 +79,13 @@ def parse_args() -> argparse.Namespace:
                    choices=['full', 'tri', 'auto'],
                    help='Gram contraction scheme for plain covariances')
     # Checkpointing (reference :313-317)
+    p.add_argument('--force-cpu', action='store_true',
+                   help='run on the CPU platform even when a TPU plugin '
+                        'is registered; virtualizes 8 CPU devices so the '
+                        'sharded/multi-device code paths are exercised')
+    p.add_argument('--synthetic-size', type=int, default=2560,
+                   help='training-set size of the synthetic fallback '
+                        'dataset (used when --data-dir is absent)')
     p.add_argument('--checkpoint-dir', default=None)
     p.add_argument('--checkpoint-freq', type=int, default=10)
     p.add_argument('--log-every', type=int, default=50)
@@ -96,8 +103,12 @@ def main() -> None:
 
     from examples.utils import maybe_init_distributed
 
-    maybe_init_distributed()
     args = parse_args()
+    if args.force_cpu:
+        from examples.utils import force_cpu_platform
+
+        force_cpu_platform()
+    maybe_init_distributed()
     args.kfac_compute_method = (
         'inverse' if args.kfac_inv_method else 'eigen'
     )
@@ -127,6 +138,7 @@ def main() -> None:
         args.batch_size * max(n_dev, 1),
         args.val_batch_size * max(n_dev, 1),
         seed=args.seed,
+        synthetic_size=args.synthetic_size,
     )
     steps_per_epoch = len(train_ds)
 

@@ -74,6 +74,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--checkpoint-freq', type=int, default=5)
     p.add_argument('--log-every', type=int, default=50)
     p.add_argument('--synthetic-size', type=int, default=1280)
+    p.add_argument('--force-cpu', action='store_true',
+                   help='run on the CPU platform even when a TPU plugin '
+                        'is registered; virtualizes 8 CPU devices so the '
+                        'sharded/multi-device code paths are exercised')
     return p.parse_args()
 
 
@@ -114,8 +118,12 @@ def main() -> None:
 
     from examples.utils import maybe_init_distributed
 
-    maybe_init_distributed()
     args = parse_args()
+    if args.force_cpu:
+        from examples.utils import force_cpu_platform
+
+        force_cpu_platform()
+    maybe_init_distributed()
     args.kfac_compute_method = (
         'inverse' if args.kfac_inv_method else 'eigen'
     )

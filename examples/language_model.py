@@ -53,8 +53,10 @@ def parse_args() -> argparse.Namespace:
                    choices=['full', 'tri', 'auto'],
                    help='Gram contraction scheme for the covariances')
     p.add_argument('--force-cpu', action='store_true',
-                   help='run on the (virtual multi-device) CPU platform '
-                        'even when a TPU plugin is registered')
+                   help='run on the CPU platform even when a TPU plugin '
+                        'is registered; virtualizes 8 CPU devices '
+                        '(xla_force_host_platform_device_count) so the '
+                        'sharded/multi-device code paths are exercised')
     p.add_argument('--kfac-static-period', action='store_true',
                    help='compile the K-FAC update schedule statically '
                         '(make_period_train_step): one dispatch per '
@@ -97,7 +99,9 @@ def main() -> None:
 
     args = parse_args()
     if args.force_cpu:
-        jax.config.update('jax_platforms', 'cpu')
+        from examples.utils import force_cpu_platform
+
+        force_cpu_platform()
     maybe_init_distributed()
     rng = np.random.default_rng(args.seed)
     stream = token_stream(args)
@@ -206,6 +210,13 @@ def main() -> None:
                 '--kfac-static-period requires --steps-per-epoch '
                 f'({args.steps_per_epoch}) divisible by '
                 f'--kfac-inv-update-steps ({args.kfac_inv_update_steps})',
+            )
+        if args.kfac_inv_update_steps % args.kfac_factor_update_steps != 0:
+            raise SystemExit(
+                '--kfac-static-period requires --kfac-inv-update-steps '
+                f'({args.kfac_inv_update_steps}) divisible by '
+                '--kfac-factor-update-steps '
+                f'({args.kfac_factor_update_steps})',
             )
         from kfac_pytorch_tpu.train import (
             KFACTrainCarry,

@@ -81,14 +81,47 @@ class Prefetcher:
         return item
 
 
-def maybe_init_distributed() -> None:
-    """Initialize JAX multi-host coordination on TPU pods.
+def force_cpu_platform(n_devices: int = 8) -> None:
+    """Force the CPU platform with ``n_devices`` virtual devices.
 
-    No-op on single-host setups; on a pod slice every host runs the same
-    SPMD program and the TPU runtime supplies the topology (the analogue
-    of the reference launcher's torchrun rendezvous,
-    ``scripts/run_imagenet.sh:35-77``).
+    Backs the example CLIs' ``--force-cpu`` flag: must run before JAX
+    initializes a backend. Uses ``jax.config`` (an installed accelerator
+    plugin preempts the ``JAX_PLATFORMS`` env var) and virtualizes a
+    multi-device platform so the sharded code paths are exercised, the
+    same way the test harness does (``kfac_pytorch_tpu/testing.py``).
+    Respects an explicit external device-count setting in ``XLA_FLAGS``.
     """
+    jax.config.update('jax_platforms', 'cpu')
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + f' --xla_force_host_platform_device_count={n_devices}'
+        ).strip()
+
+
+def maybe_init_distributed() -> None:
+    """Initialize JAX multi-host coordination.
+
+    No-op on single-host setups. Two activation paths:
+
+    - TPU pod slice: every host runs the same SPMD program and the TPU
+      runtime supplies the topology (the analogue of the reference
+      launcher's torchrun rendezvous, ``scripts/run_imagenet.sh:35-77``).
+    - Explicit rendezvous via env vars ``KFAC_COORDINATOR_ADDRESS`` +
+      ``KFAC_NUM_PROCESSES`` + ``KFAC_PROCESS_ID`` -- the analogue of
+      torchrun's MASTER_ADDR/RANK/WORLD_SIZE contract
+      (``testing/distributed.py:24-141`` of gpauloski/kfac-pytorch).
+      This is how the multi-process CPU tests drive the same code path
+      the pod launcher uses (``tests/multiprocess_test.py``).
+    """
+    coord = os.environ.get('KFAC_COORDINATOR_ADDRESS')
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ['KFAC_NUM_PROCESSES']),
+            process_id=int(os.environ['KFAC_PROCESS_ID']),
+        )
+        return
     if os.environ.get('TPU_WORKER_HOSTNAMES') or os.environ.get(
         'MEGASCALE_COORDINATOR_ADDRESS',
     ):

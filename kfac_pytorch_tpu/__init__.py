@@ -23,6 +23,7 @@ from kfac_pytorch_tpu import train as train
 from kfac_pytorch_tpu import warnings as warnings
 from kfac_pytorch_tpu.capture import accumulate_captures as accumulate_captures
 from kfac_pytorch_tpu.capture import CapturedFactors as CapturedFactors
+from kfac_pytorch_tpu.capture import nonfinite_captures as nonfinite_captures
 from kfac_pytorch_tpu.enums import AllreduceMethod as AllreduceMethod
 from kfac_pytorch_tpu.enums import AssignmentStrategy as AssignmentStrategy
 from kfac_pytorch_tpu.enums import ComputeMethod as ComputeMethod

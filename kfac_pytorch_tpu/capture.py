@@ -34,7 +34,12 @@ import jax.numpy as jnp
 from kfac_pytorch_tpu.layers.registry import LayerSpec
 from kfac_pytorch_tpu.layers.registry import module_path_name
 
-__all__ = ['CapturedFactors', 'accumulate_captures', 'capture_value_and_grad']
+__all__ = [
+    'CapturedFactors',
+    'accumulate_captures',
+    'capture_value_and_grad',
+    'nonfinite_captures',
+]
 
 
 class CapturedFactors(NamedTuple):
@@ -63,6 +68,24 @@ def accumulate_captures(captures: list[Captured]) -> Captured:
         g = sum(c[name].g for c in captures) / n
         out[name] = CapturedFactors(a=a, g=g)  # type: ignore[arg-type]
     return out
+
+
+def nonfinite_captures(captured: Captured) -> jax.Array:
+    """Count layers whose captured batch factors contain inf/nan.
+
+    Observability companion to the engine's on-device nonfinite guard
+    (``KFACPreconditioner(nonfinite_guard=True)``, the default): layers
+    counted here had their factor EMA fold skipped this step. The
+    reference's AMP workflow instead relies on the user calling
+    ``reset_batch()`` after a GradScaler-skipped step
+    (``kfac/base_preconditioner.py:384-387`` of gpauloski/kfac-pytorch).
+    Jittable; returns an int32 scalar.
+    """
+    count = jnp.zeros((), jnp.int32)
+    for cf in captured.values():
+        ok = jnp.all(jnp.isfinite(cf.a)) & jnp.all(jnp.isfinite(cf.g))
+        count = count + jnp.where(ok, 0, 1).astype(jnp.int32)
+    return count
 
 
 def _tapped_loss_fn(

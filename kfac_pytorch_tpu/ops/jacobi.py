@@ -32,11 +32,15 @@ Properties that make it the right fit here:
   the fixed adjacent pairing meets every pair once per d rounds) -- no
   gathers, no index bookkeeping, just rolls and masks.
 
-Role in the engine: this solver is the exact oracle (tests, cold starts)
-and the fallback when no warm basis exists. The *in-loop* refresh path is
+Role in the engine: production-selectable via
+``KFACPreconditioner(eigensolver='jacobi', jacobi_sweeps=N)`` -- warm-
+started from the engine's carried eigenbasis, with eigenvalues clamped
+>= 0 like the exact path. The *default* in-loop refresh on TPU is
 ``ops/refine.py`` (warm-started matmul-only refinement): Jacobi's O(d)
-rounds per sweep are VPU-elementwise work and too slow to sit inside the
-training loop, while the refinement is pure MXU matmuls.
+rounds per sweep are VPU-elementwise work and cost more inside the
+training loop, but its exact plane rotations keep the basis orthonormal
+by construction at any conditioning -- the conservative choice when
+refine's residual contract is in doubt for a new spectrum regime.
 """
 
 from __future__ import annotations

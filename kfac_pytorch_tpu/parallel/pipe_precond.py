@@ -122,11 +122,16 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
             layer registration.
         allreduce_method: ``AllreduceMethod.ALLREDUCE`` reduces each factor
             with its own psum over the stage's DP group;
-            ``ALLREDUCE_BUCKETED`` packs every factor's upper triangle
-            into ONE flat buffer for a single coalesced all-reduce -- the
-            reference's size-capped bucketed allreduce + symmetric
-            (triu-only) communication (``kfac/distributed.py:305-465``),
-            worthwhile when the ``data`` axis crosses hosts (DCN).
+            ``ALLREDUCE_BUCKETED`` packs factors' upper triangles into
+            flat buffers of at most ``bucket_cap_mb`` for coalesced
+            all-reduces -- the reference's size-capped bucketed
+            allreduce + symmetric (triu-only) communication
+            (``kfac/distributed.py:127-160,305-465``), worthwhile when
+            the ``data`` axis crosses hosts (DCN).
+        bucket_cap_mb: byte cap per coalesced bucket (reference default
+            25 MB, ``kfac/distributed.py:127-135``); ``None`` packs
+            everything into one buffer. Only used with
+            ``ALLREDUCE_BUCKETED``.
         **kwargs: engine hyperparameters, forwarded to
             :class:`KFACPreconditioner` (factor_update_steps, damping,
             compute_method, eigensolver, skip_layers, ...).
@@ -142,6 +147,7 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
         example_args: tuple[Any, ...],
         example_kwargs: dict[str, Any] | None = None,
         allreduce_method: AllreduceMethod = AllreduceMethod.ALLREDUCE,
+        bucket_cap_mb: float | None = 25.0,
         **kwargs: Any,
     ) -> None:
         if 'pipe' not in mesh.axis_names or 'data' not in mesh.axis_names:
@@ -178,6 +184,9 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
         if not isinstance(allreduce_method, AllreduceMethod):
             allreduce_method = AllreduceMethod[str(allreduce_method).upper()]
         self.allreduce_method = allreduce_method
+        if bucket_cap_mb is not None and bucket_cap_mb <= 0:
+            raise ValueError('bucket_cap_mb must be > 0 (or None)')
+        self.bucket_cap_mb = bucket_cap_mb
 
         reg_kwargs = {
             k: kwargs[k]
@@ -499,27 +508,49 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
     ) -> dict[str, jax.Array]:
         """Coalesced symmetric factor all-reduce over the stage's DP group.
 
-        Every factor's upper triangle is packed into ONE flat buffer for a
-        single psum -- the reference's bucketed allreduce + symmetric
-        communication (``kfac/distributed.py:305-465``) in one shot.
+        Factors' upper triangles are packed into flat buffers, each
+        capped at ``bucket_cap_mb`` (greedy whole-factor packing; a
+        single factor larger than the cap travels alone) -- the
+        reference's size-capped bucketed allreduce + symmetric
+        communication (``kfac/distributed.py:127-160,305-465``). The cap
+        keeps each collective small enough for XLA to overlap earlier
+        buckets' reduces with later buckets' packing instead of
+        serializing one monolithic psum behind the last factor.
+        ``bucket_cap_mb=None`` packs everything into one buffer.
         Factor sums are bitwise-symmetric, so triu round-trips losslessly.
         """
         from kfac_pytorch_tpu.parallel.collectives import fill_triu
         from kfac_pytorch_tpu.parallel.collectives import get_triu
 
         names = sorted(accs)
-        flat = jnp.concatenate([get_triu(accs[n]) for n in names])
+        # Greedy whole-factor segmentation at the byte cap.
+        chunks: list[list[str]] = [[]]
+        chunk_bytes = 0
+        cap = (
+            float('inf') if self.bucket_cap_mb is None
+            else self.bucket_cap_mb * (1 << 20)
+        )
+        for n in names:
+            d = accs[n].shape[-1]
+            nbytes = d * (d + 1) // 2 * accs[n].dtype.itemsize
+            if chunks[-1] and chunk_bytes + nbytes > cap:
+                chunks.append([])
+                chunk_bytes = 0
+            chunks[-1].append(n)
+            chunk_bytes += nbytes
         count = 1
         for ax in axes:
             count *= int(self.mesh.shape[ax])
-        flat = jax.lax.psum(flat, axes) / count
         out: dict[str, jax.Array] = {}
-        offset = 0
-        for n in names:
-            d = accs[n].shape[-1]
-            size = d * (d + 1) // 2
-            out[n] = fill_triu((d, d), flat[offset:offset + size])
-            offset += size
+        for chunk in chunks:
+            flat = jnp.concatenate([get_triu(accs[n]) for n in chunk])
+            flat = jax.lax.psum(flat, axes) / count
+            offset = 0
+            for n in chunk:
+                d = accs[n].shape[-1]
+                size = d * (d + 1) // 2
+                out[n] = fill_triu((d, d), flat[offset:offset + size])
+                offset += size
         return out
 
     def _pipe_loss_and_factors(

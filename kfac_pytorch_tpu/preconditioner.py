@@ -180,7 +180,8 @@ class KFACPreconditioner:
         colocate_factors: bool = True,
         compute_method: ComputeMethod | str = ComputeMethod.EIGEN,
         compute_eigenvalue_outer_product: bool = True,
-        eigensolver: str = 'auto',  # 'auto' | 'xla' | 'refine'
+        eigensolver: str = 'auto',  # 'auto' | 'xla' | 'refine' | 'jacobi'
+        jacobi_sweeps: int = 6,
         refine_iterations: int = 3,
         refine_precision: str = 'highest',  # 'highest' (f32) | 'high'
         refine_final_orth: str = 'auto',  # 'auto' | 'cholqr' | 'ns'
@@ -191,6 +192,7 @@ class KFACPreconditioner:
         bucket_padding: str = 'none',  # 'none' | 'pow2' | 'max'
         # Other
         capture_remat: bool = False,
+        nonfinite_guard: bool = True,
         grad_scale: Callable[[], Any] | None = None,
         factor_dtype: Any = None,
         factor_compute_dtype: Any = None,
@@ -290,16 +292,25 @@ class KFACPreconditioner:
         # per refresh for ResNet-20-sized buckets, any conditioning);
         # 'refine' replaces it with the warm-started matmul-only
         # refinement of ops/refine.py, exploiting that the engine always
-        # carries the previous eigenbasis. 'auto' picks 'refine' on
-        # accelerator backends and exact 'xla' on CPU (where eigh is
-        # cheap and tests pin exact parity with the reference).
-        if eigensolver not in ('auto', 'xla', 'refine'):
+        # carries the previous eigenbasis. 'jacobi' is the warm-started
+        # fixed-sweep two-sided Jacobi solver (ops/jacobi.py): exact
+        # plane rotations keep the basis orthonormal by construction at
+        # any conditioning, at higher in-loop cost than 'refine' (O(d)
+        # VPU rounds per sweep) -- use it when refine's residual
+        # contract is in doubt for a new spectrum regime. 'auto' picks
+        # 'refine' on accelerator backends and exact 'xla' on CPU
+        # (where eigh is cheap and tests pin exact parity with the
+        # reference).
+        if eigensolver not in ('auto', 'xla', 'refine', 'jacobi'):
             raise ValueError(f'Unknown eigensolver={eigensolver}')
         if eigensolver == 'auto':
             eigensolver = (
                 'xla' if jax.default_backend() == 'cpu' else 'refine'
             )
         self.eigensolver = eigensolver
+        if jacobi_sweeps <= 0:
+            raise ValueError('jacobi_sweeps must be > 0')
+        self.jacobi_sweeps = jacobi_sweeps
         if refine_iterations <= 0:
             raise ValueError('refine_iterations must be > 0')
         self.refine_iterations = refine_iterations
@@ -337,6 +348,7 @@ class KFACPreconditioner:
         self.accumulation_steps = accumulation_steps
         self.grad_scale = grad_scale
         self.capture_remat = capture_remat
+        self.nonfinite_guard = nonfinite_guard
         self.factor_dtype = factor_dtype
         self.factor_compute_dtype = factor_compute_dtype
         self.gram_method = gram_method
@@ -720,14 +732,30 @@ class KFACPreconditioner:
         independent fused multiply-adds. Block-stacking happens only at
         second-order time (measured ~7ms cheaper per factor update than
         maintaining stacked factor buffers).
+
+        With ``nonfinite_guard`` (default) a layer whose captured batch
+        factors contain inf/nan keeps its previous running factors: the
+        AMP skip-step workflow where an overflowed microbatch must not
+        poison the statistics. The reference handles this with a manual
+        ``reset_batch()`` the user calls when the GradScaler skips a step
+        (``kfac/base_preconditioner.py:384-387``, ``kfac/layers/base.py:
+        206-222`` of gpauloski/kfac-pytorch); here the fold is gated
+        on-device so no host round-trip sits in the step. Use
+        :func:`nonfinite_captures` to count/log skipped layers.
         """
+        guard = self.nonfinite_guard
         out = {}
         for name, cf in factors.items():
             cap = captured[name]
-            out[name] = CapturedFactors(
-                a=ema_update(cf.a, cap.a.astype(cf.a.dtype), decay),
-                g=ema_update(cf.g, cap.g.astype(cf.g.dtype), decay),
-            )
+            a_new = ema_update(cf.a, cap.a.astype(cf.a.dtype), decay)
+            g_new = ema_update(cf.g, cap.g.astype(cf.g.dtype), decay)
+            if guard:
+                ok = jnp.all(jnp.isfinite(cap.a)) & jnp.all(
+                    jnp.isfinite(cap.g),
+                )
+                a_new = jnp.where(ok, a_new, cf.a)
+                g_new = jnp.where(ok, g_new, cf.g)
+            out[name] = CapturedFactors(a=a_new, g=g_new)
         return out
 
     def _stack_bucket_factor(
@@ -799,6 +827,26 @@ class KFACPreconditioner:
                     da = da.astype(self.inv_dtype)
                     qg = qg.astype(self.inv_dtype)
                     dg = dg.astype(self.inv_dtype)
+                elif solver == 'jacobi':
+                    from kfac_pytorch_tpu.ops.jacobi import jacobi_eigh
+
+                    # Warm-started (previous basis = identity at init);
+                    # eigenvalues clamped >= 0 exactly as eigh_factor
+                    # (reference kfac/layers/eigen.py:344).
+                    qa, da = jacobi_eigh(
+                        a_stacked.astype(jnp.float32),
+                        bs.qa.astype(jnp.float32),
+                        sweeps=self.jacobi_sweeps,
+                    )
+                    qg, dg = jacobi_eigh(
+                        g_stacked.astype(jnp.float32),
+                        bs.qg.astype(jnp.float32),
+                        sweeps=self.jacobi_sweeps,
+                    )
+                    qa = qa.astype(self.inv_dtype)
+                    da = jnp.maximum(da, 0.0).astype(self.inv_dtype)
+                    qg = qg.astype(self.inv_dtype)
+                    dg = jnp.maximum(dg, 0.0).astype(self.inv_dtype)
                 else:
                     qa, da = eigh_factor(a_stacked, self.inv_dtype)
                     qg, dg = eigh_factor(g_stacked, self.inv_dtype)

@@ -15,6 +15,7 @@ from typing import Any
 
 __all__ = [
     'cpu_test_env',
+    'open_port',
     'ReplicatedSharding',
     'TinyModel',
     'LeNet',
@@ -40,6 +41,21 @@ def cpu_test_env(n_devices: int = 8) -> None:
     import jax
 
     jax.config.update('jax_platforms', 'cpu')
+
+
+def open_port() -> int:
+    """Find a free localhost port for a distributed-coordinator rendezvous.
+
+    Counterpart of the reference's ``testing/utils.py:10-27`` (MASTER_PORT
+    finder for the gloo fork harness); here it seeds
+    ``KFAC_COORDINATOR_ADDRESS`` for multi-process
+    ``jax.distributed.initialize`` tests.
+    """
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(('127.0.0.1', 0))
+        return int(s.getsockname()[1])
 
 
 class ReplicatedSharding:

@@ -209,3 +209,96 @@ def test_language_model_cli_static_period_divisibility() -> None:
     )
     assert out.returncode != 0
     assert 'divisible' in (out.stderr + out.stdout)
+
+
+def test_language_model_cli_static_period_fus_divisibility() -> None:
+    """ius not divisible by fus fails with a clean CLI error (ADVICE r3)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'language_model.py'),
+            '--epochs', '1', '--steps-per-epoch', '20',
+            '--kfac-inv-update-steps', '10',
+            '--kfac-factor-update-steps', '3',
+            '--dim', '32', '--layers', '1', '--heads', '2',
+            '--ffn-dim', '64', '--seq-len', '16', '--batch-size', '16',
+            '--kfac-static-period', '--force-cpu',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=root,
+    )
+    assert out.returncode != 0
+    assert 'divisible' in (out.stderr + out.stdout)
+    assert 'Traceback' not in out.stderr
+
+
+def test_cifar10_resnet_cli_smoke() -> None:
+    """The CIFAR-10 ResNet CLI trains one epoch on synthetic data over
+    the 8-device virtual CPU mesh with a KAISA strategy flag
+    (reference CLI: torch_cifar10_resnet.py:261-386)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'cifar10_resnet.py'),
+            '--force-cpu',
+            '--model', 'resnet20', '--epochs', '1',
+            '--batch-size', '8', '--val-batch-size', '8',
+            '--synthetic-size', '128',
+            '--kfac-strategy', 'mem-opt',
+            '--kfac-factor-update-steps', '1',
+            '--kfac-inv-update-steps', '2',
+            '--log-every', '1',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'KFAC registered' in out.stdout, out.stdout
+    assert 'epoch 0' in out.stdout, out.stdout
+
+
+def test_imagenet_resnet_cli_smoke() -> None:
+    """The ImageNet ResNet CLI trains one epoch on synthetic data
+    (single-device CPU, label smoothing + warmup path)."""
+    import subprocess
+
+    env = dict(os.environ)
+    # force_cpu_platform respects an external device-count flag: pin a
+    # single device so this smoke covers the unsharded configuration.
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'imagenet_resnet.py'),
+            '--force-cpu',
+            '--model', 'resnet50', '--epochs', '1',
+            '--image-size', '32',
+            '--batch-size', '8', '--val-batch-size', '8',
+            '--synthetic-size', '16',
+            '--kfac-worker-fraction', '1.0',
+            '--kfac-factor-update-steps', '1',
+            '--kfac-inv-update-steps', '2',
+            '--log-every', '1',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'epoch 0' in out.stdout, out.stdout

@@ -333,6 +333,45 @@ def test_bucketed_symmetric_allreduce_matches_plain() -> None:
         )
 
 
+def test_bucketed_allreduce_size_cap_segments_and_matches() -> None:
+    """A tiny bucket_cap_mb forces multi-bucket segmentation (reference
+    caps at 25 MB, kfac/distributed.py:127-160); numerics unchanged."""
+    mesh = _mesh()
+    plain = _make(mesh)
+    # Cap below one factor's triangle: every factor travels alone.
+    capped = _make(
+        mesh,
+        allreduce_method=AllreduceMethod.ALLREDUCE_BUCKETED,
+        bucket_cap_mb=1e-5,
+    )
+    monolithic = _make(
+        mesh,
+        allreduce_method=AllreduceMethod.ALLREDUCE_BUCKETED,
+        bucket_cap_mb=None,
+    )
+    params = plain.init_params(jax.random.PRNGKey(3))
+    x, y = _data()
+    (_, _), _, cap_p = jax.jit(plain.value_and_grad())(params, x, y)
+    (_, _), _, cap_c = jax.jit(capped.value_and_grad())(params, x, y)
+    (_, _), _, cap_m = jax.jit(monolithic.value_and_grad())(params, x, y)
+    for name in cap_p:
+        for variant in (cap_c, cap_m):
+            np.testing.assert_allclose(
+                np.asarray(variant[name].a),
+                np.asarray(cap_p[name].a),
+                rtol=1e-6,
+                atol=1e-7,
+            )
+            np.testing.assert_allclose(
+                np.asarray(variant[name].g),
+                np.asarray(cap_p[name].g),
+                rtol=1e-6,
+                atol=1e-9,
+            )
+    with pytest.raises(ValueError, match='bucket_cap_mb'):
+        _make(mesh, bucket_cap_mb=0)
+
+
 def test_state_dict_roundtrip_and_checkpoint() -> None:
     mesh = _mesh()
     precond = _make(mesh, damping=0.01)

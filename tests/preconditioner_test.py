@@ -505,3 +505,121 @@ def test_bf16_inverse_storage_close_to_f32(solver: str) -> None:
             (np.linalg.norm(a) + 1e-12) * scale
         ))
         assert cos > 0.999
+
+
+def test_nonfinite_guard_skips_poisoned_captures() -> None:
+    """An inf/nan capture (AMP-overflowed microbatch) must not poison the
+    running factors (reference exposes ``reset_batch()`` for this,
+    ``kfac/base_preconditioner.py:384-387``; here the fold is gated
+    on-device)."""
+    from kfac_pytorch_tpu import nonfinite_captures
+    from kfac_pytorch_tpu.capture import CapturedFactors
+
+    model, params, precond, loss_fn, x, y = _setup()
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+
+    # Poison one layer's A factor with inf, another's G with nan.
+    names = list(captured)
+    bad = dict(captured)
+    bad[names[0]] = CapturedFactors(
+        a=jnp.full_like(bad[names[0]].a, jnp.inf), g=bad[names[0]].g,
+    )
+    bad[names[1]] = CapturedFactors(
+        a=bad[names[1]].a,
+        g=bad[names[1]].g.at[0, 0].set(jnp.nan),
+    )
+    assert int(nonfinite_captures(bad)) == 2
+    assert int(nonfinite_captures(captured)) == 0
+
+    pgrads, new_state = jax.jit(precond.step)(state, grads, bad)
+    for name, spec in precond.specs.items():
+        a = np.asarray(new_state.factors[name].a)
+        g = np.asarray(new_state.factors[name].g)
+        assert np.isfinite(a).all(), name
+        assert np.isfinite(g).all(), name
+        # Skipped layers keep their previous (identity-init) factors.
+        np.testing.assert_allclose(a, np.eye(spec.a_shape[0]))
+        np.testing.assert_allclose(g, np.eye(spec.g_shape[0]))
+    for leaf in jax.tree_util.tree_leaves(pgrads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # A subsequent clean capture folds normally: statistics recover.
+    _, next_state = precond.step(new_state, grads, captured)
+    for name in precond.specs:
+        assert np.isfinite(np.asarray(next_state.factors[name].a)).all()
+        assert not np.allclose(
+            np.asarray(next_state.factors[name].a),
+            np.asarray(new_state.factors[name].a),
+        )
+
+
+def test_nonfinite_guard_off_folds_everything() -> None:
+    from kfac_pytorch_tpu.capture import CapturedFactors
+
+    model, params, precond, loss_fn, x, y = _setup(nonfinite_guard=False)
+    state = precond.init()
+    fn = precond.value_and_grad(loss_fn)
+    _, grads, captured = fn(params, x, y)
+    names = list(captured)
+    bad = dict(captured)
+    bad[names[0]] = CapturedFactors(
+        a=jnp.full_like(bad[names[0]].a, jnp.inf), g=bad[names[0]].g,
+    )
+    _, new_state = precond.step(state, grads, bad)
+    assert not np.isfinite(np.asarray(new_state.factors[names[0]].a)).all()
+
+
+def test_jacobi_eigensolver_matches_exact() -> None:
+    """eigensolver='jacobi' (warm-started fixed-sweep two-sided Jacobi,
+    ops/jacobi.py) is production-selectable and its preconditioned grads
+    match the exact-eigh path tightly (exact plane rotations)."""
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (16, 10))
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def loss_fn(p, bx, by):
+        out = model.apply(p, bx)
+        return jnp.mean((out - by) ** 2)
+
+    preconds = {
+        solver: KFACPreconditioner(
+            model,
+            example_args=(x,),
+            eigensolver=solver,
+            jacobi_sweeps=10,
+            damping=0.003,
+        )
+        for solver in ('xla', 'jacobi')
+    }
+    states = {k: p.init() for k, p in preconds.items()}
+    vag = jax.jit(preconds['xla'].value_and_grad(loss_fn))
+    steps = {k: jax.jit(p.step) for k, p in preconds.items()}
+    rel_errs = []
+    for _ in range(3):
+        (_, _), grads, captured = vag(params, x, y)
+        pgs = {}
+        for k in preconds:
+            pgs[k], states[k] = steps[k](states[k], grads, captured)
+        exact = jax.tree.leaves(pgs['xla'])
+        approx = jax.tree.leaves(pgs['jacobi'])
+        rel_errs.append(
+            max(
+                float(jnp.max(jnp.abs(e - a)))
+                / (float(jnp.max(jnp.abs(e))) + 1e-12)
+                for e, a in zip(exact, approx)
+            ),
+        )
+        params = jax.tree.map(lambda p, g: p - 0.1 * g, params, pgs['xla'])
+    assert max(rel_errs) < 1e-3, rel_errs
+
+
+def test_jacobi_sweeps_validation() -> None:
+    model = TinyModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    with pytest.raises(ValueError, match='jacobi_sweeps'):
+        KFACPreconditioner(
+            model, example_args=(x,), jacobi_sweeps=0,
+        )
