@@ -86,6 +86,20 @@ class LayerHelper:
         return (self.out_features, self.in_features + int(self.has_bias))
 
     def has_symmetric_factors(self) -> bool:
+        """Whether the layer's A/G covariance factors are symmetric.
+
+        Always True for every supported layer type: Dense and Conv2d
+        factors are Gram matrices (``X^T X``), symmetric by
+        construction. The reference carries a nonsymmetric escape hatch
+        (``torch.linalg.eig`` + separate eigenvector communication,
+        ``kfac/layers/eigen.py:323-348`` of gpauloski/kfac-pytorch) that
+        is likewise unreachable for its two supported module types --
+        nonsymmetric factors are intentionally OUT OF SCOPE here (the
+        engine's triu-packed communication, batched symmetric solvers,
+        and PSD eigenvalue clamping all assume symmetry). A future
+        module type with nonsymmetric factors must override this AND
+        extend ``ops/curvature.py``.
+        """
         return True
 
     def get_a_factor(self, a: jax.Array) -> jax.Array:

@@ -1229,6 +1229,16 @@ class KFACPreconditioner:
         Non-callable hyperparameters stored in the dict override the
         constructor values (mirroring reference ``load_state_dict``,
         ``base_preconditioner.py:249-308``).
+
+        Note: like the reference, this MUTATES the preconditioner
+        object (the Python-side hyperparameter constants are overridden
+        so ``init_hyperparams``/``__repr__``/``should_update_*`` stay
+        consistent with the restored state). Do not share one
+        preconditioner instance across logically independent training
+        runs and then ``load_state_dict`` on one of them -- construct a
+        fresh instance per run. The same applies to
+        ``LambdaParamScheduler.step`` (it mirrors scheduled values onto
+        the preconditioner).
         """
         for key, _ in _SCHEDULABLE:
             if key in state_dict:

@@ -302,3 +302,94 @@ def test_imagenet_resnet_cli_smoke() -> None:
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'epoch 0' in out.stdout, out.stdout
+
+
+def _write_cifar_fixture(dirpath: str, per_file: int = 64) -> None:
+    """Deterministic CIFAR-10 binary batches (1 label byte + 3072 CHW)."""
+    rng = np.random.default_rng(7)
+    os.makedirs(dirpath, exist_ok=True)
+    for fname in [f'data_batch_{i}.bin' for i in range(1, 6)] + [
+        'test_batch.bin',
+    ]:
+        labels = rng.integers(0, 10, per_file, dtype=np.uint8)
+        pixels = rng.integers(
+            0, 256, (per_file, 3072), dtype=np.int64,
+        ).astype(np.uint8)
+        rec = np.concatenate([labels[:, None], pixels], axis=1)
+        rec.tofile(os.path.join(dirpath, fname))
+
+
+def test_cifar10_real_binary_decode_path(tmp_path) -> None:
+    """The CIFAR binary branch (reference vision/datasets.py:19-153)
+    decodes, normalizes, and iterates with augmentation."""
+    from examples.vision import datasets
+
+    _write_cifar_fixture(str(tmp_path))
+    train, val = datasets.cifar10(str(tmp_path), 32, 16)
+    assert train.images.shape == (320, 32, 32, 3)
+    assert val.images.shape == (64, 32, 32, 3)
+    assert train.images.dtype == np.float32
+    # Normalized: uniform-random uint8 pixels land near mean 0 per
+    # channel after (x/255 - mean) / std.
+    assert abs(float(train.images.mean())) < 0.25
+    assert 0 <= int(train.labels.min()) and int(train.labels.max()) <= 9
+    assert len(train) == 10  # 320 // 32
+    xb, yb = next(iter(train.epoch()))
+    assert xb.shape == (32, 32, 32, 3) and yb.shape == (32,)
+
+
+def test_cifar10_resnet_cli_real_data_smoke(tmp_path) -> None:
+    """The CIFAR CLI end-to-end on REAL binary data (--data-dir), not the
+    synthetic fallback."""
+    import subprocess
+
+    _write_cifar_fixture(str(tmp_path))
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'cifar10_resnet.py'),
+            '--force-cpu',
+            '--data-dir', str(tmp_path),
+            '--model', 'resnet20', '--epochs', '1',
+            '--batch-size', '8', '--val-batch-size', '8',
+            '--kfac-factor-update-steps', '1',
+            '--kfac-inv-update-steps', '5',
+            '--log-every', '1',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'epoch 0' in out.stdout, out.stdout
+
+
+def test_language_model_file_stream(tmp_path) -> None:
+    """The byte-level --data-file branch of the LM CLI."""
+    import argparse
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        'lm_cli', os.path.join(root, 'examples', 'language_model.py'),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    payload = bytes(range(256)) * 8
+    f = tmp_path / 'corpus.bin'
+    f.write_bytes(payload)
+    args = argparse.Namespace(
+        data_file=str(f), vocab_size=128, seed=0,
+    )
+    stream = mod.token_stream(args)
+    assert stream.dtype == np.int32
+    assert len(stream) == len(payload)
+    np.testing.assert_array_equal(
+        stream, np.frombuffer(payload, np.uint8).astype(np.int32) % 128,
+    )
