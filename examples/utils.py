@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import optax
 
 __all__ = [
+    'DynamicLossScale',
+    'force_cpu_platform',
     'maybe_init_distributed',
     'shard_batch',
     'Metric',
@@ -23,6 +25,7 @@ __all__ = [
     'create_lr_schedule',
     'save_checkpoint',
     'load_checkpoint',
+    'latest_checkpoint',
     'Prefetcher',
 ]
 
@@ -265,3 +268,63 @@ def latest_checkpoint(directory: str, prefix: str = 'ckpt_') -> str | None:
     if not candidates:
         return None
     return os.path.join(directory, max(candidates)[1])
+
+
+class DynamicLossScale:
+    """GradScaler-style dynamic loss scaling for low-precision training.
+
+    The functional counterpart of the reference examples' AMP loop
+    (``torch.cuda.amp.GradScaler`` + ``scaler.unscale_`` before
+    ``preconditioner.step()``, ``examples/vision/engine.py:63-88`` of
+    gpauloski/kfac-pytorch). Pass ``scale()`` as the preconditioner's
+    ``grad_scale`` (captured output-gradients are unscaled before the
+    covariance, like ``scaler.unscale_``); on an overflowed step, drop
+    the update and call ``update(found_inf=True)`` -- the engine's
+    ``nonfinite_guard`` (default on) independently protects the factor
+    EMAs, playing the role of the reference's ``reset_batch()``.
+
+    Host-side state by design: the scale changes rarely and feeding it
+    as a traced scalar (returned by ``grad_scale``) keeps the compiled
+    step reusable across scale changes.
+    """
+
+    def __init__(
+        self,
+        init_scale: float = 2.0**15,
+        growth_factor: float = 2.0,
+        backoff_factor: float = 0.5,
+        growth_interval: int = 2000,
+    ) -> None:
+        self._scale = float(init_scale)
+        self.growth_factor = growth_factor
+        self.backoff_factor = backoff_factor
+        self.growth_interval = growth_interval
+        self._good_steps = 0
+
+    def scale(self) -> jax.Array:
+        """Current loss scale as a traced scalar (use as ``grad_scale``)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._scale, jnp.float32)
+
+    @staticmethod
+    def grads_finite(grads: Any) -> jax.Array:
+        """Jittable all-finite predicate over a gradient pytree."""
+        import jax.numpy as jnp
+
+        leaves = jax.tree.leaves(grads)
+        ok = jnp.ones((), bool)
+        for leaf in leaves:
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        return ok
+
+    def update(self, found_inf: bool) -> None:
+        """Adjust the scale after a step (reference GradScaler semantics)."""
+        if found_inf:
+            self._scale *= self.backoff_factor
+            self._good_steps = 0
+        else:
+            self._good_steps += 1
+            if self._good_steps >= self.growth_interval:
+                self._scale *= self.growth_factor
+                self._good_steps = 0

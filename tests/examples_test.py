@@ -393,3 +393,64 @@ def test_language_model_file_stream(tmp_path) -> None:
     np.testing.assert_array_equal(
         stream, np.frombuffer(payload, np.uint8).astype(np.int32) % 128,
     )
+
+
+def test_dynamic_loss_scale_amp_workflow() -> None:
+    """GradScaler-style loop: scaled loss, unscaled captures via
+    grad_scale, skipped step on overflow, backoff/growth semantics
+    (reference examples/vision/engine.py:63-88)."""
+    import jax
+    import optax
+
+    from examples.utils import DynamicLossScale
+    from kfac_pytorch_tpu import KFACPreconditioner
+    from kfac_pytorch_tpu.models import TinyModel
+
+    scaler = DynamicLossScale(init_scale=1024.0, growth_interval=2)
+    model = TinyModel()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 8)), jnp.float32)
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(8, 10)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def scaled_loss(p, bx, by):
+        out = model.apply(p, bx)
+        return jnp.mean((out - by) ** 2) * scaler.scale()
+
+    precond = KFACPreconditioner(
+        model, example_args=(x,), grad_scale=scaler.scale,
+    )
+    state = precond.init()
+    vag = precond.value_and_grad(scaled_loss)
+    (_, _), grads, captured = vag(params, x, y)
+
+    # Captured factors are UNSCALED (grad_scale divides g before the
+    # covariance): compare against a scale-1 run.
+    ref = KFACPreconditioner(model, example_args=(x,))
+
+    def plain_loss(p, bx, by):
+        out = model.apply(p, bx)
+        return jnp.mean((out - by) ** 2)
+
+    (_, _), grads_ref, cap_ref = ref.value_and_grad(plain_loss)(params, x, y)
+    for name in captured:
+        np.testing.assert_allclose(
+            np.asarray(captured[name].g),
+            np.asarray(cap_ref[name].g),
+            rtol=1e-4,
+            atol=1e-8,
+        )
+
+    # Raw grads are scaled; unscale before the optimizer step.
+    finite = bool(DynamicLossScale.grads_finite(grads))
+    assert finite
+    unscaled = jax.tree.map(lambda g: g / scaler.scale(), grads)
+    for a, b in zip(jax.tree.leaves(unscaled), jax.tree.leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3)
+
+    # Overflow: backoff and skip; growth after growth_interval good steps.
+    scaler.update(found_inf=True)
+    assert scaler._scale == 512.0
+    scaler.update(found_inf=False)
+    scaler.update(found_inf=False)
+    assert scaler._scale == 1024.0
+    _ = optax  # referenced for parity with other tests
