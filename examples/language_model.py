@@ -52,6 +52,21 @@ def parse_args() -> argparse.Namespace:
     p.add_argument('--kfac-gram-method', type=str, default='full',
                    choices=['full', 'tri', 'auto'],
                    help='Gram contraction scheme for the covariances')
+    p.add_argument('--kfac-compute-method', type=str, default='inverse',
+                   choices=['eigen', 'inverse'],
+                   help='Second-order representation (reference '
+                        'ComputeMethod). The LM production default is '
+                        "'inverse': convergence-equivalent to exact "
+                        'eigen in the LM regime and the fastest '
+                        'configuration measured (docs/PERF_NOTES.md '
+                        '"Round-4: transformer-LM under the bar").')
+    p.add_argument('--kfac-eigensolver', type=str, default='xla',
+                   choices=['auto', 'xla', 'refine', 'jacobi'],
+                   help="In-loop eigensolver for --kfac-compute-method "
+                        "eigen. Default 'xla' (exact): the warm refine "
+                        'solver lags convergence on LM token-covariance '
+                        'spectra at its aggressive defaults '
+                        '(docs/PERF_NOTES.md LM convergence A/B).')
     p.add_argument('--force-cpu', action='store_true',
                    help='run on the CPU platform even when a TPU plugin '
                         'is registered; virtualizes 8 CPU devices '
@@ -153,6 +168,11 @@ def main() -> None:
             skip_layers=args.kfac_skip_layers,
             sharding=sharding,
             gram_method=args.kfac_gram_method,
+            compute_method=args.kfac_compute_method,
+            compute_eigenvalue_outer_product=(
+                args.kfac_compute_method == 'eigen'
+            ),
+            eigensolver=args.kfac_eigensolver,
         )
         print(f'KFAC registered {len(precond.specs)} layers:')
         for name in precond.specs:

@@ -300,7 +300,14 @@ class KFACPreconditioner:
         # contract is in doubt for a new spectrum regime. 'auto' picks
         # 'refine' on accelerator backends and exact 'xla' on CPU
         # (where eigh is cheap and tests pin exact parity with the
-        # reference).
+        # reference). Regime caveat (measured, docs/PERF_NOTES.md
+        # "LM convergence A/B"): on vision spectra 'refine' is both
+        # faster and converges ahead of exact; on transformer LM
+        # token-covariance spectra its aggressive defaults lag late
+        # convergence, and pricing it at convergence-parity settings
+        # (refine_iterations=3, 'highest') costs as much as exact --
+        # for LM regimes use 'xla', or compute_method='inverse'
+        # (fastest; steps-to-loss identical to exact eigen there).
         if eigensolver not in ('auto', 'xla', 'refine', 'jacobi'):
             raise ValueError(f'Unknown eigensolver={eigensolver}')
         if eigensolver == 'auto':
