@@ -209,15 +209,23 @@ def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
     def period_time(pre: Any) -> float:
         period = make_period_train_step(pre, loss_fn, tx)
         ius = pre._inv_update_steps
-        xs = jnp.broadcast_to(x, (ius, *x.shape))
-        ys = jnp.broadcast_to(y, (ius, *y.shape))
-        run_p = jax.jit(lambda c: period(c, (xs, ys)))
+
+        # Batch as a jit ARGUMENT, broadcast inside the trace -- a
+        # closed-over broadcast array becomes an HLO constant and can
+        # overflow the tunnel's remote-compile request (HTTP 413); see
+        # static_period_overhead.
+        @jax.jit
+        def run_p(c: Any, bx: jax.Array, by: jax.Array) -> Any:
+            xs = jnp.broadcast_to(bx, (ius, *bx.shape))
+            ys = jnp.broadcast_to(by, (ius, *by.shape))
+            return period(c, (xs, ys))
+
         carry_p = KFACTrainCarry(params, tx.init(params), pre.init(), None)
-        out = hostsync(run_p(carry_p))
+        out = hostsync(run_p(carry_p, x, y))
         best = float('inf')
         for _ in range(repeats):
             t0 = time.perf_counter()
-            out = hostsync(run_p(out[0]))
+            out = hostsync(run_p(out[0], x, y))
             best = min(best, time.perf_counter() - t0)
         return max(best - _floor(), 1e-9) / ius
 
@@ -677,6 +685,19 @@ def step_overhead(
     }
 
 
+def _safe(fn: Any) -> dict[str, Any]:
+    """Run a detail-metric section; never let it kill the bench.
+
+    The driver consumes exactly one JSON line from this process -- a
+    detail section that raises must degrade to an ``{'error': ...}``
+    entry, not take the headline down with it.
+    """
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001
+        return {'error': f'{type(exc).__name__}: {exc}'}
+
+
 def static_period_overhead(
     params: Any,
     batch_stats: Any,
@@ -702,18 +723,30 @@ def static_period_overhead(
     tx = optax.sgd(0.1, momentum=0.9)
     period = make_period_train_step(precond, loss_fn, tx, has_aux=has_aux)
     ius = precond._inv_update_steps
-    xs = jnp.broadcast_to(x, (ius, *x.shape))
-    ys = jnp.broadcast_to(y, (ius, *y.shape))
-    run_p = jax.jit(lambda c: period(c, (xs, ys)))
-    carry = KFACTrainCarry(
-        params, tx.init(params), precond.init(), batch_stats,
-    )
-    out = hostsync(run_p(carry))
-    best = float('inf')
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = hostsync(run_p(out[0]))
-        best = min(best, time.perf_counter() - t0)
+
+    # The batch MUST ride in as a jit argument with the ius-fold
+    # broadcast done inside the trace: a closed-over broadcast array
+    # becomes an HLO constant, and at ius=100 x b128 the embedded
+    # literal overflows the tunnel's remote-compile request body
+    # (HTTP 413).
+    @jax.jit
+    def run_p(c: Any, bx: jax.Array, by: jax.Array) -> Any:
+        xs = jnp.broadcast_to(bx, (ius, *bx.shape))
+        ys = jnp.broadcast_to(by, (ius, *by.shape))
+        return period(c, (xs, ys))
+
+    try:
+        carry = KFACTrainCarry(
+            params, tx.init(params), precond.init(), batch_stats,
+        )
+        out = hostsync(run_p(carry, x, y))
+        best = float('inf')
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = hostsync(run_p(out[0], x, y))
+            best = min(best, time.perf_counter() - t0)
+    except Exception as exc:  # noqa: BLE001 - bench must not die here
+        return {'static_period_error': f'{type(exc).__name__}: {exc}'}
     t_period = max(best - _floor(), 1e-9) / ius
     return {
         'static_period_step_ms': round(t_period * 1e3, 3),
@@ -1453,7 +1486,9 @@ def main() -> None:
             rn20['sgd_step_ms'],
         ),
     )
-    cap20 = capture_cost(params20, bn20, precond20, loss20, x20, y20)
+    cap20 = _safe(
+        lambda: capture_cost(params20, bn20, precond20, loss20, x20, y20),
+    )
 
     overhead_pct = rn50['overhead_pct']
     detail: dict[str, Any] = {
@@ -1465,7 +1500,7 @@ def main() -> None:
         'factor_update_steps': 10,
         'inv_update_steps': 100,
         'resnet20_cifar': {**rn20, **cap20},
-        'factor_decomp': decomp_metrics(precond20),
+        'factor_decomp': _safe(lambda: decomp_metrics(precond20)),
     }
     if late is not None:
         detail['late_regime_fus100_ius1000'] = late
@@ -1474,7 +1509,7 @@ def main() -> None:
     # Transformer LM: the reference's third workload family
     # (examples/torch_language_model.py) is a first-class number.
     if '--no-lm' not in sys.argv:
-        detail['transformer_lm'] = lm_overhead()
+        detail['transformer_lm'] = _safe(lm_overhead)
     # Pipelined regime (the reference's GPT-NeoX deployment): relative
     # overhead on the virtual 8-device CPU mesh (subprocess; the chip
     # under the driver is single-device).
@@ -1486,7 +1521,7 @@ def main() -> None:
     if '--refine-ab' in sys.argv:
         detail['refine_vs_exact'] = refine_ab()
     # Methodology guard: hostsync-vs-block_until_ready on real work.
-    detail['sync_probe'] = sync_probe()
+    detail['sync_probe'] = _safe(sync_probe)
     result = {
         'metric': 'kfac_step_overhead_pct',
         # Detail entries carry the signed overhead; the headline verdict
