@@ -1425,13 +1425,72 @@ def refine_ab(target_acc: float = 0.85, max_steps: int = 400) -> dict:
     }
 
 
-def main() -> None:
-    # Headline: the BASELINE.md workload (ResNet-50, ImageNet shapes).
+_SECTION_CHILD = '--_section'
+_SECTION_PREFIX = 'SECTION_RESULT '
+
+
+def _run_section(
+    name: str,
+    timeout_s: float,
+    retries: int = 1,
+) -> dict[str, Any]:
+    """Run one bench section in a subprocess with a hard timeout.
+
+    The TPU tunnel intermittently wedges an RPC with no client-side
+    timeout (observed: a bench process parked 40+ min at zero CPU).
+    In-process, one wedge loses the WHOLE bench run and the round's
+    numbers; per-section children bound the damage to one section and
+    a retry usually lands on a healthy tunnel. Children share the
+    on-disk jax compilation cache, so the re-compile cost is small.
+    Timeouts are scaled by $KFAC_BENCH_TIMEOUT_SCALE if set.
+    """
+    import os
+    import subprocess
+
+    scale = float(_os.environ.get('KFAC_BENCH_TIMEOUT_SCALE', '1'))
+    err = 'unknown'
+    for attempt in range(retries + 1):
+        if attempt:
+            print(
+                f'# section {name}: retry after {err}',
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(30.0)  # let a wedged server-side op drain
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    _SECTION_CHILD,
+                    name,
+                    *sys.argv[1:],
+                ],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s * scale,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            err = f'timeout after {timeout_s * scale:.0f}s'
+            continue
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(_SECTION_PREFIX):
+                return json.loads(line[len(_SECTION_PREFIX):])
+        tail = (proc.stderr or proc.stdout or '').strip().splitlines()
+        err = f'exit {proc.returncode}: {" | ".join(tail[-3:])[:500]}'
+    return {'error': err}
+
+
+def section_rn50() -> dict[str, Any]:
+    """Headline: the BASELINE.md workload (ResNet-50, ImageNet shapes);
+    plus the flag-gated b256-accumulation and late-regime variants that
+    share its build."""
     _, params, bn, precond, loss_fn, x, y = build_rn50()
     rn50 = step_overhead(params, bn, precond, loss_fn, x, y, repeats=5)
     rn50['repeat_spread_pct'] = _LAST_SPREAD
+    out: dict[str, Any] = {'rn50': rn50}
 
-    b256 = None
     if '--b256' in sys.argv:
         # Effective batch 256 as 2x128 accumulation (both loops run the
         # identical microbatch schedule; see accum_overhead docstring).
@@ -1452,9 +1511,10 @@ def main() -> None:
             model_a, example_args=(xs[0],),
             accumulation_steps=accum, **KFAC_KW,
         )
-        b256 = accum_overhead(params, bn, precond_a, loss_fn, xs, ys)
+        out['b256'] = _safe(
+            lambda: accum_overhead(params, bn, precond_a, loss_fn, xs, ys),
+        )
 
-    late = None
     if '--late' in sys.argv:
         # Late-training regime: the reference's examples decay the
         # update intervals x10 at LR-decay epochs
@@ -1472,9 +1532,16 @@ def main() -> None:
         kw['inv_update_steps'] = 1000
         model_l = resnet50_imagenet()
         precond_l = KFACPreconditioner(model_l, example_args=(x,), **kw)
-        late = late_regime_overhead(params, bn, precond_l, loss_fn, x, y)
+        out['late'] = _safe(
+            lambda: late_regime_overhead(
+                params, bn, precond_l, loss_fn, x, y,
+            ),
+        )
+    return out
 
-    # Detail: ResNet-20/CIFAR (round-1 continuity), capture cost, decomp.
+
+def section_rn20() -> dict[str, Any]:
+    """ResNet-20/CIFAR step + static-period (round-1 continuity)."""
     _, params20, bn20, precond20, loss20, x20, y20 = build()
     rn20 = step_overhead(
         params20, bn20, precond20, loss20, x20, y20, repeats=5,
@@ -1486,56 +1553,114 @@ def main() -> None:
             rn20['sgd_step_ms'],
         ),
     )
-    cap20 = _safe(
-        lambda: capture_cost(params20, bn20, precond20, loss20, x20, y20),
-    )
+    return rn20
 
-    overhead_pct = rn50['overhead_pct']
+
+def section_rn20_factor() -> dict[str, Any]:
+    """Capture cost + factor-decomposition metrics on the rn20 build."""
+    _, params20, bn20, precond20, loss20, x20, y20 = build()
+    return {
+        'capture': _safe(
+            lambda: capture_cost(
+                params20, bn20, precond20, loss20, x20, y20,
+            ),
+        ),
+        'decomp': _safe(lambda: decomp_metrics(precond20)),
+    }
+
+
+SECTIONS: dict[str, Any] = {
+    'rn50': section_rn50,
+    'rn20': section_rn20,
+    'rn20_factor': section_rn20_factor,
+    'lm': lm_overhead,
+    'pipe1': pipeline_chip_pipe1,
+    'sync': sync_probe,
+    'tta': lambda: time_to_accuracy(),
+    'refine_ab': lambda: refine_ab(),
+}
+
+
+def main() -> None:
+    inline = _os.environ.get('KFAC_BENCH_INLINE') == '1'
+
+    def sect(name: str, timeout_s: float) -> dict[str, Any]:
+        if inline:
+            return _safe(SECTIONS[name])
+        return _run_section(name, timeout_s)
+
+    rn50_out = sect('rn50', timeout_s=2700)
+    rn50 = rn50_out.get('rn50', rn50_out)
+    rn20 = sect('rn20', timeout_s=1500)
+    fact = sect('rn20_factor', timeout_s=1500)
+
     detail: dict[str, Any] = {
         'model': 'resnet50-imagenet224',
         'batch': 128,
-        'sgd_step_ms': rn50['sgd_step_ms'],
-        'kfac_step_ms': rn50['kfac_step_ms'],
+        'sgd_step_ms': rn50.get('sgd_step_ms'),
+        'kfac_step_ms': rn50.get('kfac_step_ms'),
         'backend': jax.default_backend(),
         'factor_update_steps': 10,
         'inv_update_steps': 100,
-        'resnet20_cifar': {**rn20, **cap20},
-        'factor_decomp': _safe(lambda: decomp_metrics(precond20)),
+        'resnet20_cifar': {**rn20, **fact.get('capture', {})},
+        'factor_decomp': fact.get('decomp', fact),
     }
-    if late is not None:
-        detail['late_regime_fus100_ius1000'] = late
-    if b256 is not None:
-        detail['rn50_b256_accum2'] = b256
+    if 'late' in rn50_out:
+        detail['late_regime_fus100_ius1000'] = rn50_out['late']
+    if 'b256' in rn50_out:
+        detail['rn50_b256_accum2'] = rn50_out['b256']
     # Transformer LM: the reference's third workload family
     # (examples/torch_language_model.py) is a first-class number.
     if '--no-lm' not in sys.argv:
-        detail['transformer_lm'] = _safe(lm_overhead)
+        detail['transformer_lm'] = sect('lm', timeout_s=1800)
     # Pipelined regime (the reference's GPT-NeoX deployment): relative
     # overhead on the virtual 8-device CPU mesh (subprocess; the chip
-    # under the driver is single-device).
+    # under the driver is single-device), plus the degenerate pipe=1
+    # schedule on the real chip.
     if '--no-pipeline' not in sys.argv:
-        detail['pipeline_cpu_mesh'] = pipeline_overhead()
-        detail['pipeline_chip_pipe1'] = pipeline_chip_pipe1()
+        detail['pipeline_cpu_mesh'] = _safe(pipeline_overhead)
+        detail['pipeline_chip_pipe1'] = sect('pipe1', timeout_s=1200)
     if '--tta' in sys.argv:
-        detail['time_to_accuracy'] = time_to_accuracy()
+        detail['time_to_accuracy'] = sect('tta', timeout_s=2700)
     if '--refine-ab' in sys.argv:
-        detail['refine_vs_exact'] = refine_ab()
+        detail['refine_vs_exact'] = sect('refine_ab', timeout_s=2700)
     # Methodology guard: hostsync-vs-block_until_ready on real work.
-    detail['sync_probe'] = _safe(sync_probe)
-    result = {
-        'metric': 'kfac_step_overhead_pct',
-        # Detail entries carry the signed overhead; the headline verdict
-        # clamps at 0 (negative = within measurement noise of free).
-        'value': round(max(overhead_pct, 0.0), 2),
-        'unit': '%',
-        'vs_baseline': round(10.0 / max(overhead_pct, 1e-6), 3),
-        'detail': detail,
-    }
+    detail['sync_probe'] = sect('sync', timeout_s=600)
+
+    overhead_pct = rn50.get('overhead_pct')
+    if overhead_pct is None:
+        # Headline section failed even after retry: emit an honest
+        # null headline with the failure in detail rather than dying
+        # (the driver records exactly one JSON line from this run).
+        result: dict[str, Any] = {
+            'metric': 'kfac_step_overhead_pct',
+            'value': None,
+            'unit': '%',
+            'vs_baseline': None,
+            'detail': detail,
+        }
+    else:
+        result = {
+            'metric': 'kfac_step_overhead_pct',
+            # Detail entries carry the signed overhead; the headline
+            # verdict clamps at 0 (negative = within measurement noise
+            # of free).
+            'value': round(max(overhead_pct, 0.0), 2),
+            'unit': '%',
+            'vs_baseline': round(10.0 / max(overhead_pct, 1e-6), 3),
+            'detail': detail,
+        }
     print(json.dumps(result))
 
 
 if __name__ == '__main__':
     if _PIPELINE_CHILD in sys.argv:
         _pipeline_child_main()
+    elif _SECTION_CHILD in sys.argv:
+        _name = sys.argv[sys.argv.index(_SECTION_CHILD) + 1]
+        print(
+            _SECTION_PREFIX + json.dumps(SECTIONS[_name]()),
+            flush=True,
+        )
     else:
         main()
