@@ -1474,12 +1474,29 @@ def _run_section(
         except subprocess.TimeoutExpired:
             err = f'timeout after {timeout_s * scale:.0f}s'
             continue
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith(_SECTION_PREFIX):
-                return json.loads(line[len(_SECTION_PREFIX):])
+        parsed = _parse_section_output(proc.stdout)
+        if parsed is not None:
+            return parsed
         tail = (proc.stderr or proc.stdout or '').strip().splitlines()
         err = f'exit {proc.returncode}: {" | ".join(tail[-3:])[:500]}'
     return {'error': err}
+
+
+def _parse_section_output(stdout: str) -> dict[str, Any] | None:
+    """Extract the last SECTION_RESULT payload from child stdout.
+
+    Children print warnings/progress freely; only the marker line is
+    the contract. Returns None when no parseable marker line exists
+    (the caller records the child's tail as the error).
+    """
+    for line in reversed(stdout.splitlines()):
+        if line.startswith(_SECTION_PREFIX):
+            try:
+                out = json.loads(line[len(_SECTION_PREFIX):])
+            except json.JSONDecodeError:
+                return None
+            return out if isinstance(out, dict) else None
+    return None
 
 
 def section_rn50() -> dict[str, Any]:
