@@ -203,31 +203,11 @@ def lm_overhead(n: int = 100, repeats: int = 3) -> dict[str, float]:
     # fairer analogue of the reference's eager Python-side interval
     # checks (no lax.cond state-threading cost, measured ~1.3 ms/step
     # on this workload).
-    from kfac_pytorch_tpu.tracing import hostsync
-    from kfac_pytorch_tpu.train import make_period_train_step
-
     def period_time(pre: Any) -> float:
-        period = make_period_train_step(pre, loss_fn, tx)
-        ius = pre._inv_update_steps
-
-        # Batch as a jit ARGUMENT, broadcast inside the trace -- a
-        # closed-over broadcast array becomes an HLO constant and can
-        # overflow the tunnel's remote-compile request (HTTP 413); see
-        # static_period_overhead.
-        @jax.jit
-        def run_p(c: Any, bx: jax.Array, by: jax.Array) -> Any:
-            xs = jnp.broadcast_to(bx, (ius, *bx.shape))
-            ys = jnp.broadcast_to(by, (ius, *by.shape))
-            return period(c, (xs, ys))
-
-        carry_p = KFACTrainCarry(params, tx.init(params), pre.init(), None)
-        out = hostsync(run_p(carry_p, x, y))
-        best = float('inf')
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = hostsync(run_p(out[0], x, y))
-            best = min(best, time.perf_counter() - t0)
-        return max(best - _floor(), 1e-9) / ius
+        return _period_step_time(
+            pre, loss_fn, params, None, x, y,
+            has_aux=False, repeats=repeats,
+        )
 
     t_period = period_time(precond)
 
@@ -451,56 +431,53 @@ def pipeline_chip_pipe1(n: int = 50, repeats: int = 3) -> dict[str, Any]:
             out.astype(jnp.float32), y,
         ).mean()
 
-    try:
-        precond = PipelineKFACPreconditioner(
-            PipelineTransformerStage(dim=dim, num_heads=heads, ffn_dim=ffn),
-            mesh=mesh,
-            n_microbatches=micro,
-            loss_fn=loss_fn,
-            example_args=(jnp.zeros((batch // micro, seq, dim)),),
-            **{
-                k: v for k, v in KFAC_KW.items()
-                if k not in ('skip_layers',)
-            },
-        )
-        params = precond.init_params(jax.random.PRNGKey(0))
-        x = jax.random.normal(
-            jax.random.PRNGKey(1), (batch, seq, dim), jnp.float32,
-        )
-        y = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0, dim)
-        tx = optax.sgd(0.1, momentum=0.9)
+    precond = PipelineKFACPreconditioner(
+        PipelineTransformerStage(dim=dim, num_heads=heads, ffn_dim=ffn),
+        mesh=mesh,
+        n_microbatches=micro,
+        loss_fn=loss_fn,
+        example_args=(jnp.zeros((batch // micro, seq, dim)),),
+        **{
+            k: v for k, v in KFAC_KW.items()
+            if k not in ('skip_layers',)
+        },
+    )
+    params = precond.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, seq, dim), jnp.float32,
+    )
+    y = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0, dim)
+    tx = optax.sgd(0.1, momentum=0.9)
 
-        kstep = make_pipeline_train_step(precond, tx)
+    kstep = make_pipeline_train_step(precond, tx)
 
-        def kfac_body(carry: Any, _: Any):
-            return kstep(carry, (x, y))
+    def kfac_body(carry: Any, _: Any):
+        return kstep(carry, (x, y))
 
-        plain = precond.plain_value_and_grad()
+    plain = precond.plain_value_and_grad()
 
-        def sgd_body(carry: Any, _: Any):
-            p, o = carry
-            loss, grads = plain(p, x, y)
-            updates, o = tx.update(grads, o)
-            return (optax.apply_updates(p, updates), o), loss
+    def sgd_body(carry: Any, _: Any):
+        p, o = carry
+        loss, grads = plain(p, x, y)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), loss
 
-        _, t_sgd = _timed_scan(
-            sgd_body, (params, tx.init(params)), n, repeats,
-        )
-        _, t_kfac = _timed_scan(
-            kfac_body, (params, tx.init(params), precond.init()), n, repeats,
-        )
-        return {
-            'sgd_step_ms': round(t_sgd * 1e3, 3),
-            'kfac_step_ms': round(t_kfac * 1e3, 3),
-            'overhead_pct': round((t_kfac / t_sgd - 1.0) * 100.0, 2),
-            'mesh': 'pipe1 x data1 (real chip)',
-            'model': (
-                f'transformer stage dim {dim} ffn {ffn} seq {seq} '
-                f'b{batch}, {micro} microbatches'
-            ),
-        }
-    except Exception as exc:  # noqa: BLE001 - bench must not die here
-        return {'error': f'{type(exc).__name__}: {exc}'}
+    _, t_sgd = _timed_scan(
+        sgd_body, (params, tx.init(params)), n, repeats,
+    )
+    _, t_kfac = _timed_scan(
+        kfac_body, (params, tx.init(params), precond.init()), n, repeats,
+    )
+    return {
+        'sgd_step_ms': round(t_sgd * 1e3, 3),
+        'kfac_step_ms': round(t_kfac * 1e3, 3),
+        'overhead_pct': round((t_kfac / t_sgd - 1.0) * 100.0, 2),
+        'mesh': 'pipe1 x data1 (real chip)',
+        'model': (
+            f'transformer stage dim {dim} ffn {ffn} seq {seq} '
+            f'b{batch}, {micro} microbatches'
+        ),
+    }
 
 
 def _make_loss(model: Any) -> Any:
@@ -666,6 +643,7 @@ def step_overhead(
     _, t_sgd = _timed_scan(
         sgd_body, (params, batch_stats, tx.init(params)), n, repeats,
     )
+    sgd_spread = _LAST_SPREAD
     _, t_kfac = _timed_scan(
         kfac_body,
         KFACTrainCarry(
@@ -682,6 +660,10 @@ def step_overhead(
         'sgd_step_ms': round(t_sgd * 1e3, 3),
         'kfac_step_ms': round(t_kfac * 1e3, 3),
         'overhead_pct': round(overhead, 2),
+        # Per-loop repeat spreads: baseline drift (the r02->r03 rn20
+        # story) lives in sgd_spread_pct, not the K-FAC loop's spread.
+        'sgd_spread_pct': sgd_spread,
+        'kfac_spread_pct': _LAST_SPREAD,
     }
 
 
@@ -698,23 +680,22 @@ def _safe(fn: Any) -> dict[str, Any]:
         return {'error': f'{type(exc).__name__}: {exc}'}
 
 
-def static_period_overhead(
-    params: Any,
-    batch_stats: Any,
+def _period_step_time(
     precond: Any,
     loss_fn: Any,
+    params: Any,
+    batch_stats: Any,
     x: jax.Array,
     y: jax.Array,
-    t_sgd_ms: float,
     has_aux: bool = True,
     repeats: int = 3,
-) -> dict[str, float]:
-    """Overhead with the fully static schedule (make_period_train_step).
-
-    The production deployment when update intervals are fixed ints: one
-    dispatch per refresh period, zero in-graph gating conds -- the fair
-    analogue of the reference's eager Python-side interval checks
-    (``base_preconditioner.py:310-362``).
+) -> float:
+    """Per-step device time of the fully static schedule
+    (``make_period_train_step``): one dispatch per ``inv_update_steps``
+    batches, zero in-graph gating conds -- the fair analogue of the
+    reference's eager Python-side interval checks
+    (``base_preconditioner.py:310-362``). Shared by the rn20/rn50 and
+    LM static-period metrics.
     """
     from kfac_pytorch_tpu.tracing import hostsync
     from kfac_pytorch_tpu.train import KFACTrainCarry
@@ -735,19 +716,42 @@ def static_period_overhead(
         ys = jnp.broadcast_to(by, (ius, *by.shape))
         return period(c, (xs, ys))
 
+    carry = KFACTrainCarry(
+        params, tx.init(params), precond.init(), batch_stats,
+    )
+    out = hostsync(run_p(carry, x, y))
+    best = float('inf')
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = hostsync(run_p(out[0], x, y))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _floor(), 1e-9) / ius
+
+
+def static_period_overhead(
+    params: Any,
+    batch_stats: Any,
+    precond: Any,
+    loss_fn: Any,
+    x: jax.Array,
+    y: jax.Array,
+    t_sgd_ms: float,
+    has_aux: bool = True,
+    repeats: int = 3,
+) -> dict[str, float]:
+    """Static-schedule overhead detail entry (see ``_period_step_time``).
+
+    Fails soft: a permanent failure here (e.g. the ius-stacked batch
+    does not fit HBM at the workload's shapes) must not cost the
+    sibling step metrics measured in the same section child.
+    """
     try:
-        carry = KFACTrainCarry(
-            params, tx.init(params), precond.init(), batch_stats,
+        t_period = _period_step_time(
+            precond, loss_fn, params, batch_stats, x, y,
+            has_aux=has_aux, repeats=repeats,
         )
-        out = hostsync(run_p(carry, x, y))
-        best = float('inf')
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = hostsync(run_p(out[0], x, y))
-            best = min(best, time.perf_counter() - t0)
     except Exception as exc:  # noqa: BLE001 - bench must not die here
         return {'static_period_error': f'{type(exc).__name__}: {exc}'}
-    t_period = max(best - _floor(), 1e-9) / ius
     return {
         'static_period_step_ms': round(t_period * 1e3, 3),
         'static_period_overhead_pct': round(
@@ -922,8 +926,18 @@ def _scan_flops(step_fn: Any, carry: Any, length: int) -> float | None:
         )
         return out, losses
 
+    return _compiled_flops(run, carry)
+
+
+def _compiled_flops(jitted: Any, *operands: Any) -> float | None:
+    """XLA cost-analysis flops of a jitted callable, or None.
+
+    Single home for the lower/compile/cost_analysis dance (its return
+    shape has changed across jax versions -- hence the list unwrap) so
+    every flop metric in this file shares one implementation.
+    """
     try:
-        ca = run.lower(carry).compile().cost_analysis()
+        ca = jitted.lower(*operands).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         return float(ca['flops'])
     except Exception:  # noqa: BLE001 -- backend without cost analysis
@@ -1121,14 +1135,9 @@ def decomp_metrics(precond: Any) -> dict[str, Any]:
             t0 = time.perf_counter()
             hostsync(run(operands))
             best = min(best, time.perf_counter() - t0)
-        try:
-            # XLA counts the scan body once (not x n_iter): reported
-            # flops are already per-iteration (see _scan_flops).
-            ca = run.lower(operands).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-            fl = float(ca['flops'])
-        except Exception:  # noqa: BLE001
-            fl = None
+        # XLA counts the scan body once (not x n_iter): reported
+        # flops are already per-iteration (see _scan_flops).
+        fl = _compiled_flops(run, operands)
         return max(best - _floor(), 1e-9) / n_iter, fl
 
     t_eigh, f_eigh = timed(
@@ -1505,7 +1514,6 @@ def section_rn50() -> dict[str, Any]:
     share its build."""
     _, params, bn, precond, loss_fn, x, y = build_rn50()
     rn50 = step_overhead(params, bn, precond, loss_fn, x, y, repeats=5)
-    rn50['repeat_spread_pct'] = _LAST_SPREAD
     out: dict[str, Any] = {'rn50': rn50}
 
     if '--b256' in sys.argv:
@@ -1563,7 +1571,6 @@ def section_rn20() -> dict[str, Any]:
     rn20 = step_overhead(
         params20, bn20, precond20, loss20, x20, y20, repeats=5,
     )
-    rn20['repeat_spread_pct'] = _LAST_SPREAD
     rn20.update(
         static_period_overhead(
             params20, bn20, precond20, loss20, x20, y20,
@@ -1619,6 +1626,16 @@ def main() -> None:
         'backend': jax.default_backend(),
         'factor_update_steps': 10,
         'inv_update_steps': 100,
+        **(
+            # A failed headline section must leave its diagnostic in
+            # the emitted line (the driver records nothing else).
+            {'rn50_error': rn50['error']} if 'error' in rn50 else {}
+        ),
+        **{
+            k: rn50[k]
+            for k in ('sgd_spread_pct', 'kfac_spread_pct')
+            if k in rn50
+        },
         'resnet20_cifar': {**rn20, **fact.get('capture', {})},
         'factor_decomp': fact.get('decomp', fact),
     }

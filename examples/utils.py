@@ -119,10 +119,20 @@ def maybe_init_distributed() -> None:
     """
     coord = os.environ.get('KFAC_COORDINATOR_ADDRESS')
     if coord:
+        nproc = os.environ.get('KFAC_NUM_PROCESSES')
+        pid = os.environ.get('KFAC_PROCESS_ID')
+        if nproc is None or pid is None:
+            raise RuntimeError(
+                'KFAC_COORDINATOR_ADDRESS is set but '
+                'KFAC_NUM_PROCESSES/KFAC_PROCESS_ID are not -- all '
+                'three are required for the explicit rendezvous '
+                '(a stale exported address from a previous run also '
+                'triggers this; unset it for single-process use).',
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ['KFAC_NUM_PROCESSES']),
-            process_id=int(os.environ['KFAC_PROCESS_ID']),
+            num_processes=int(nproc),
+            process_id=int(pid),
         )
         return
     if os.environ.get('TPU_WORKER_HOSTNAMES') or os.environ.get(
@@ -276,16 +286,34 @@ class DynamicLossScale:
     The functional counterpart of the reference examples' AMP loop
     (``torch.cuda.amp.GradScaler`` + ``scaler.unscale_`` before
     ``preconditioner.step()``, ``examples/vision/engine.py:63-88`` of
-    gpauloski/kfac-pytorch). Pass ``scale()`` as the preconditioner's
-    ``grad_scale`` (captured output-gradients are unscaled before the
-    covariance, like ``scaler.unscale_``); on an overflowed step, drop
-    the update and call ``update(found_inf=True)`` -- the engine's
-    ``nonfinite_guard`` (default on) independently protects the factor
-    EMAs, playing the role of the reference's ``reset_batch()``.
+    gpauloski/kfac-pytorch). On an overflowed step, drop the update and
+    call ``update(found_inf=True)`` -- the engine's ``nonfinite_guard``
+    (default on) independently protects the factor EMAs, playing the
+    role of the reference's ``reset_batch()``.
 
-    Host-side state by design: the scale changes rarely and feeding it
-    as a traced scalar (returned by ``grad_scale``) keeps the compiled
-    step reusable across scale changes.
+    Two integration patterns, by loop style:
+
+    - **Eager loop** (each step dispatched separately, as in these
+      example CLIs): pass ``scaler.scale`` as the preconditioner's
+      ``grad_scale``. Each dispatch re-evaluates it, so backoff/growth
+      take effect on the next step.
+    - **Jitted/scanned loop**: a zero-arg ``grad_scale`` is evaluated
+      at TRACE time and baked into the compiled program -- scale
+      changes would be silently ignored. Thread the scale through the
+      step as a traced input instead, and use the arg-taking
+      ``grad_scale`` convention::
+
+          pre = KFACPreconditioner(
+              model, grad_scale=lambda x, y, scale: scale, ...,
+          )
+          # loss_fn(params, x, y, scale) multiplies the loss by scale;
+          # the capture unscales the output-gradients with the SAME
+          # traced value. Per step: step(carry, (x, y, scaler.scale()))
+          # then scaler.update(found_inf=...).
+
+      (Engine contract: ``kfac_pytorch_tpu/capture.py`` invokes an
+      arg-taking ``grad_scale`` with ``loss_fn``'s post-params
+      arguments.)
     """
 
     def __init__(

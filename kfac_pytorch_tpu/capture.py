@@ -88,6 +88,33 @@ def nonfinite_captures(captured: Captured) -> jax.Array:
     return count
 
 
+def _takes_args(fn: Callable[..., Any]) -> bool:
+    """Whether a ``grad_scale`` callable accepts the loss args.
+
+    Zero-parameter callables keep the legacy trace-time-constant
+    convention; anything that can bind at least one positional argument
+    (including ``*args``) receives ``loss_fn``'s post-``params``
+    arguments so a traced scale can ride through the jitted step. On
+    un-inspectable callables (builtins, some C extensions) fall back to
+    the zero-arg convention.
+    """
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    for p in sig.parameters.values():
+        if p.kind in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            inspect.Parameter.VAR_POSITIONAL,
+            inspect.Parameter.VAR_KEYWORD,
+        ):
+            return True
+    return False
+
+
 def _tapped_loss_fn(
     loss_fn: Callable[..., Any],
     specs: dict[str, LayerSpec],
@@ -183,7 +210,19 @@ def capture_value_and_grad(
         grad_scale: optional callable returning the AMP loss-scale; captured
             output-gradients are divided by it before the covariance, exactly
             like the reference's ``grad_scaler`` unscaling
-            (``kfac/layers/base.py:359-373``).
+            (``kfac/layers/base.py:359-373``). Two call conventions:
+
+            - zero-argument (``lambda: scale``): evaluated at trace
+              time -- under ``jax.jit`` the value is BAKED INTO the
+              compiled program as a constant. Correct for a fixed
+              scale, or for eager per-step calls.
+            - arg-taking (``lambda *args, **kwargs: ...``): invoked
+              with ``loss_fn``'s post-``params`` arguments, so a scale
+              threaded through the step as a TRACED input (e.g.
+              ``step(..., (x, y, scale))`` with
+              ``grad_scale=lambda x, y, scale: scale``) updates
+              without retracing -- the jit-correct dynamic-loss-scale
+              pattern (see ``examples.utils.DynamicLossScale``).
         remat: rematerialize the capture forward (``jax.checkpoint``):
             activations are recomputed during the backward instead of
             kept live alongside the capture transients -- trades FLOPs
@@ -243,7 +282,15 @@ def capture_value_and_grad(
             *args,
             **kwargs,
         )
-        scale = None if grad_scale is None else grad_scale()
+        scale = (
+            None
+            if grad_scale is None
+            else (
+                grad_scale(*args, **kwargs)
+                if _takes_args(grad_scale)
+                else grad_scale()
+            )
+        )
         captured: Captured = {}
         for name, spec in specs.items():
             helper = spec.helper

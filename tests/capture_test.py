@@ -115,6 +115,44 @@ def test_capture_with_grad_scale() -> None:
     )
 
 
+def test_capture_with_traced_grad_scale_under_jit() -> None:
+    """Arg-taking grad_scale: the scale rides through a jitted step.
+
+    The jit-correct dynamic-loss-scale pattern: a zero-arg grad_scale
+    is a trace-time constant, but an arg-taking one receives loss_fn's
+    post-params arguments, so a scale passed as a traced input updates
+    WITHOUT retracing (capture.py `_takes_args`).
+    """
+    model, params, specs, _, x, y = _setup()
+
+    def loss_fn(p, bx, by, scale):
+        out = model.apply(p, bx)
+        return jnp.mean((out - by) ** 2) * scale
+
+    fn = jax.jit(
+        capture_value_and_grad(
+            loss_fn,
+            specs,
+            grad_scale=lambda bx, by, scale: scale,
+        ),
+    )
+    _, _, c1 = fn(params, x, y, jnp.float32(1.0))
+    # Same COMPILED function, new traced scale value: captured factors
+    # must be fully unscaled (identical to scale=1), not divided by the
+    # baked-in first value.
+    _, _, c2 = fn(params, x, y, jnp.float32(8.0))
+    np.testing.assert_allclose(
+        np.asarray(c2['Dense_1'].g),
+        np.asarray(c1['Dense_1'].g),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c2['Dense_0'].a),
+        np.asarray(c1['Dense_0'].a),
+        rtol=1e-6,
+    )
+
+
 class SharedLayerModel(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
