@@ -1540,13 +1540,14 @@ def section_rn50() -> dict[str, Any]:
             lambda: accum_overhead(params, bn, precond_a, loss_fn, xs, ys),
         )
 
-    if '--late' in sys.argv:
+    if '--no-late' not in sys.argv:
         # Late-training regime: the reference's examples decay the
         # update intervals x10 at LR-decay epochs
         # (examples/vision/optimizers.py:75-101 of gpauloski/
         # kfac-pytorch), so most of an ImageNet run executes at
-        # fus=100/ius=1000. Scan length 1000 keeps one refresh per
-        # timed dispatch.
+        # fus=100/ius=1000 -- reported by default since that is where
+        # most of a production run's wall-clock lives. Scan length
+        # 1000 keeps one refresh per timed dispatch.
         from kfac_pytorch_tpu import KFACPreconditioner
         from kfac_pytorch_tpu.models.imagenet_resnet import (
             resnet50_imagenet,
