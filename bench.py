@@ -400,15 +400,18 @@ def pipeline_overhead() -> dict[str, Any] | None:
         return {'error': f'{type(exc).__name__}: {exc}'}
 
 
-def pipeline_chip_pipe1(n: int = 50, repeats: int = 3) -> dict[str, Any]:
+def pipeline_chip_pipe1(n: int = 100, repeats: int = 5) -> dict[str, Any]:
     """Pipelined engine on the REAL chip at pipe=1 (degenerate mesh).
 
     Isolates the GPipe-schedule + in-pipe masked-capture cost from
     CPU-mesh emulation (the ``pipeline_cpu_mesh`` metric): with one
     stage and one data shard the shard_map is the identity, so the
     difference vs the plain pipelined step is exactly the K-FAC work
-    as scheduled through the pipelined engine, at a realistic
-    transformer microbatch. VERDICT r3 item #7.
+    as scheduled through the pipelined engine. Two batch points:
+    b32 (round-continuity; fixed costs against b8 microbatch matmuls,
+    so the ratio runs high and noisy -- spreads reported) and b128
+    (production microbatch scale, where the fixed adder amortizes).
+    VERDICT r3 item #7.
     """
     import numpy as np
     from jax.sharding import Mesh
@@ -421,7 +424,7 @@ def pipeline_chip_pipe1(n: int = 50, repeats: int = 3) -> dict[str, Any]:
         PipelineKFACPreconditioner,
     )
 
-    dim, heads, ffn, seq, batch, micro = 512, 8, 2048, 256, 32, 4
+    dim, heads, ffn, seq, micro = 512, 8, 2048, 256, 4
     mesh = Mesh(
         np.array(jax.devices()[:1]).reshape(1, 1), ('pipe', 'data'),
     )
@@ -431,54 +434,69 @@ def pipeline_chip_pipe1(n: int = 50, repeats: int = 3) -> dict[str, Any]:
             out.astype(jnp.float32), y,
         ).mean()
 
-    precond = PipelineKFACPreconditioner(
-        PipelineTransformerStage(dim=dim, num_heads=heads, ffn_dim=ffn),
-        mesh=mesh,
-        n_microbatches=micro,
-        loss_fn=loss_fn,
-        example_args=(jnp.zeros((batch // micro, seq, dim)),),
-        **{
-            k: v for k, v in KFAC_KW.items()
-            if k not in ('skip_layers',)
-        },
-    )
-    params = precond.init_params(jax.random.PRNGKey(0))
-    x = jax.random.normal(
-        jax.random.PRNGKey(1), (batch, seq, dim), jnp.float32,
-    )
-    y = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0, dim)
-    tx = optax.sgd(0.1, momentum=0.9)
+    def measure(batch: int) -> dict[str, Any]:
+        precond = PipelineKFACPreconditioner(
+            PipelineTransformerStage(
+                dim=dim, num_heads=heads, ffn_dim=ffn,
+            ),
+            mesh=mesh,
+            n_microbatches=micro,
+            loss_fn=loss_fn,
+            example_args=(jnp.zeros((batch // micro, seq, dim)),),
+            **{
+                k: v for k, v in KFAC_KW.items()
+                if k not in ('skip_layers',)
+            },
+        )
+        params = precond.init_params(jax.random.PRNGKey(0))
+        x = jax.random.normal(
+            jax.random.PRNGKey(1), (batch, seq, dim), jnp.float32,
+        )
+        y = jax.random.randint(
+            jax.random.PRNGKey(2), (batch, seq), 0, dim,
+        )
+        tx = optax.sgd(0.1, momentum=0.9)
 
-    kstep = make_pipeline_train_step(precond, tx)
+        kstep = make_pipeline_train_step(precond, tx)
 
-    def kfac_body(carry: Any, _: Any):
-        return kstep(carry, (x, y))
+        def kfac_body(carry: Any, _: Any):
+            return kstep(carry, (x, y))
 
-    plain = precond.plain_value_and_grad()
+        plain = precond.plain_value_and_grad()
 
-    def sgd_body(carry: Any, _: Any):
-        p, o = carry
-        loss, grads = plain(p, x, y)
-        updates, o = tx.update(grads, o)
-        return (optax.apply_updates(p, updates), o), loss
+        def sgd_body(carry: Any, _: Any):
+            p, o = carry
+            loss, grads = plain(p, x, y)
+            updates, o = tx.update(grads, o)
+            return (optax.apply_updates(p, updates), o), loss
 
-    _, t_sgd = _timed_scan(
-        sgd_body, (params, tx.init(params)), n, repeats,
-    )
-    _, t_kfac = _timed_scan(
-        kfac_body, (params, tx.init(params), precond.init()), n, repeats,
-    )
+        _, t_sgd = _timed_scan(
+            sgd_body, (params, tx.init(params)), n, repeats,
+        )
+        sgd_spread = _LAST_SPREAD
+        _, t_kfac = _timed_scan(
+            kfac_body,
+            (params, tx.init(params), precond.init()),
+            n,
+            repeats,
+        )
+        return {
+            'sgd_step_ms': round(t_sgd * 1e3, 3),
+            'kfac_step_ms': round(t_kfac * 1e3, 3),
+            'overhead_pct': round((t_kfac / t_sgd - 1.0) * 100.0, 2),
+            'sgd_spread_pct': sgd_spread,
+            'kfac_spread_pct': _LAST_SPREAD,
+            'model': (
+                f'transformer stage dim {dim} ffn {ffn} seq {seq} '
+                f'b{batch}, {micro} microbatches'
+            ),
+        }
+
     return {
-        'sgd_step_ms': round(t_sgd * 1e3, 3),
-        'kfac_step_ms': round(t_kfac * 1e3, 3),
-        'overhead_pct': round((t_kfac / t_sgd - 1.0) * 100.0, 2),
         'mesh': 'pipe1 x data1 (real chip)',
-        'model': (
-            f'transformer stage dim {dim} ffn {ffn} seq {seq} '
-            f'b{batch}, {micro} microbatches'
-        ),
+        'b32': measure(32),
+        'b128': measure(128),
     }
-
 
 def _make_loss(model: Any) -> Any:
     def loss_fn(p: Any, bn: Any, bx: jax.Array, by: jax.Array):
@@ -592,6 +610,12 @@ def _timed_scan(
         return out, losses
 
     out = hostsync(run(carry))
+    # Second warmup with the OUTPUT carry: its avals can differ from
+    # the initial carry's (weak-typed Python scalars become strong
+    # arrays), so the first out-fed call re-traces -- without this, one
+    # ~compile-sized stall lands inside the timing loop and shows up as
+    # a four-digit repeat spread (observed on the pipelined step).
+    out = hostsync(run(out[0]))
     best = float('inf')
     times = []
     for _ in range(repeats):
