@@ -91,12 +91,16 @@ def nonfinite_captures(captured: Captured) -> jax.Array:
 def _takes_args(fn: Callable[..., Any]) -> bool:
     """Whether a ``grad_scale`` callable accepts the loss args.
 
-    Zero-parameter callables keep the legacy trace-time-constant
-    convention; anything that can bind at least one positional argument
-    (including ``*args``) receives ``loss_fn``'s post-``params``
-    arguments so a traced scale can ride through the jitted step. On
-    un-inspectable callables (builtins, some C extensions) fall back to
-    the zero-arg convention.
+    Only a callable that REQUIRES positional arguments (a
+    no-default positional parameter, or bare ``*args``) is invoked
+    with ``loss_fn``'s post-``params`` arguments, so a traced scale
+    can ride through the jitted step. A callable whose positional
+    parameters all have defaults (``def scale(s=1024.0)``) or that
+    takes only ``**kwargs`` keeps the zero-arg trace-time-constant
+    convention -- invoking those with the batch args would silently
+    bind a batch array as the loss scale (wrong covariances, no
+    error). On un-inspectable callables (builtins, some C
+    extensions) fall back to the zero-arg convention.
     """
     import inspect
 
@@ -105,11 +109,14 @@ def _takes_args(fn: Callable[..., Any]) -> bool:
     except (TypeError, ValueError):
         return False
     for p in sig.parameters.values():
-        if p.kind in (
-            inspect.Parameter.POSITIONAL_ONLY,
-            inspect.Parameter.POSITIONAL_OR_KEYWORD,
-            inspect.Parameter.VAR_POSITIONAL,
-            inspect.Parameter.VAR_KEYWORD,
+        if p.kind is inspect.Parameter.VAR_POSITIONAL:
+            return True
+        if (
+            p.kind in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+            and p.default is inspect.Parameter.empty
         ):
             return True
     return False
@@ -291,6 +298,16 @@ def capture_value_and_grad(
                 else grad_scale()
             )
         )
+        if scale is not None and jnp.ndim(scale) != 0:
+            # A non-scalar here means the grad_scale callable bound a
+            # batch array (wrong call convention) -- fail loudly at
+            # trace time instead of producing silently wrong factors.
+            raise ValueError(
+                'grad_scale must return a scalar loss scale; got shape '
+                f'{jnp.shape(scale)}. An arg-taking grad_scale receives '
+                "loss_fn's post-params arguments -- did it bind a batch "
+                'array?',
+            )
         captured: Captured = {}
         for name, spec in specs.items():
             helper = spec.helper

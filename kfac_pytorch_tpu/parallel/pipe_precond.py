@@ -73,6 +73,31 @@ from kfac_pytorch_tpu.state import KFACState
 __all__ = ['PipelineKFACPreconditioner', 'make_pipeline_train_step']
 
 
+def ffd_chunks(sizes: dict[str, int], cap: float) -> list[list[str]]:
+    """First-fit-decreasing segmentation of named items at a byte cap.
+
+    Sorting by descending size lets small items backfill chunks a large
+    item would otherwise close early (fewer psums than first-fit in name
+    order) -- the efficiency property of the reference's size-capped
+    gradient bucketing (``kfac/distributed.py:127-160``). The
+    ``(size, name)`` key is host-side and identical on every rank, so
+    chunk composition -- hence collective order -- stays deterministic
+    across ranks. An item larger than the cap travels alone.
+    """
+    chunks: list[list[str]] = [[]]
+    chunk_bytes = [0]
+    for n in sorted(sizes, key=lambda n: (-sizes[n], n)):
+        for i, used in enumerate(chunk_bytes):
+            if not chunks[i] or used + sizes[n] <= cap:
+                chunks[i].append(n)
+                chunk_bytes[i] += sizes[n]
+                break
+        else:
+            chunks.append([n])
+            chunk_bytes.append(sizes[n])
+    return chunks
+
+
 def _shard_map(fn: Any, mesh: Mesh, in_specs: Any, out_specs: Any) -> Any:
     try:
         from jax import shard_map  # jax >= 0.8
@@ -509,8 +534,9 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
         """Coalesced symmetric factor all-reduce over the stage's DP group.
 
         Factors' upper triangles are packed into flat buffers, each
-        capped at ``bucket_cap_mb`` (greedy whole-factor packing; a
-        single factor larger than the cap travels alone) -- the
+        capped at ``bucket_cap_mb`` (first-fit-decreasing whole-factor
+        packing, ``ffd_chunks``; a single factor larger than the cap
+        travels alone) -- the
         reference's size-capped bucketed allreduce + symmetric
         communication (``kfac/distributed.py:127-160,305-465``). The cap
         keeps each collective small enough for XLA to overlap earlier
@@ -522,22 +548,19 @@ class PipelineKFACPreconditioner(KFACPreconditioner):
         from kfac_pytorch_tpu.parallel.collectives import fill_triu
         from kfac_pytorch_tpu.parallel.collectives import get_triu
 
-        names = sorted(accs)
-        # Greedy whole-factor segmentation at the byte cap.
-        chunks: list[list[str]] = [[]]
-        chunk_bytes = 0
         cap = (
             float('inf') if self.bucket_cap_mb is None
             else self.bucket_cap_mb * (1 << 20)
         )
-        for n in names:
-            d = accs[n].shape[-1]
-            nbytes = d * (d + 1) // 2 * accs[n].dtype.itemsize
-            if chunks[-1] and chunk_bytes + nbytes > cap:
-                chunks.append([])
-                chunk_bytes = 0
-            chunks[-1].append(n)
-            chunk_bytes += nbytes
+
+        chunks = ffd_chunks(
+            {
+                n: (lambda d: d * (d + 1) // 2)(a.shape[-1])
+                * a.dtype.itemsize
+                for n, a in accs.items()
+            },
+            cap,
+        )
         count = 1
         for ax in axes:
             count *= int(self.mesh.shape[ax])

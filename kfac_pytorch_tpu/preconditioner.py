@@ -311,9 +311,32 @@ class KFACPreconditioner:
         if eigensolver not in ('auto', 'xla', 'refine', 'jacobi'):
             raise ValueError(f'Unknown eigensolver={eigensolver}')
         if eigensolver == 'auto':
-            eigensolver = (
-                'xla' if jax.default_backend() == 'cpu' else 'refine'
-            )
+            if jax.default_backend() == 'cpu':
+                eigensolver = 'xla'
+            elif self._dense_dominated_large_dims():
+                # Measured lag regime (docs/PERF_NOTES.md "LM
+                # convergence A/B"): on Dense-dominated models with
+                # large factor dims (transformer token-covariance
+                # spectra) the warm 'refine' refresh lags exact eigen's
+                # late convergence by ~40% steps-to-target, so 'auto'
+                # must not pick it silently. Exact 'xla' is the
+                # convergence-safe default there; compute_method=
+                # 'inverse' is faster still (steps-to-loss identical
+                # to exact eigen in that regime, same A/B).
+                eigensolver = 'xla'
+                warnings.warn(
+                    "eigensolver='auto' selected exact 'xla' for this "
+                    'Dense-dominated large-dim model: the warm '
+                    "'refine' refresh lags late convergence on "
+                    'transformer-LM spectra (docs/PERF_NOTES.md "LM '
+                    'convergence A/B"). For the fastest measured LM '
+                    "configuration use compute_method='inverse'; pass "
+                    "eigensolver='refine' explicitly to override.",
+                    ExperimentalFeatureWarning,
+                    stacklevel=2,
+                )
+            else:
+                eigensolver = 'refine'
         self.eigensolver = eigensolver
         if jacobi_sweeps <= 0:
             raise ValueError('jacobi_sweeps must be > 0')
@@ -476,6 +499,26 @@ class KFACPreconditioner:
     # ------------------------------------------------------------------
     # Introspection / parity helpers
     # ------------------------------------------------------------------
+
+    def _dense_dominated_large_dims(
+        self,
+        linear_fraction: float = 2 / 3,
+        dim_threshold: int = 1024,
+    ) -> bool:
+        """Whether the registered model sits in the measured refine-lag
+        regime: mostly Dense layers with at least one large factor dim
+        (transformer-LM shapes). Conv-dominated vision models and
+        small-dim MLPs are NOT in it -- there 'refine' both wins on
+        time and converges ahead of exact (docs/PERF_NOTES.md)."""
+        n = len(self._specs)
+        n_linear = sum(
+            1 for s in self._specs.values() if s.module_type == 'linear'
+        )
+        max_dim = max(
+            max(s.a_shape[-1], s.g_shape[-1])
+            for s in self._specs.values()
+        )
+        return n_linear / n >= linear_fraction and max_dim >= dim_threshold
 
     def __repr__(self) -> str:
         params = [

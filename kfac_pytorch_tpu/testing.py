@@ -50,10 +50,18 @@ def open_port() -> int:
     finder for the gloo fork harness); here it seeds
     ``KFAC_COORDINATOR_ADDRESS`` for multi-process
     ``jax.distributed.initialize`` tests.
+
+    Same TOCTOU window as the reference's MASTER_PORT finder: the socket
+    closes before the coordinator binds the port. ``SO_REUSEADDR``
+    shrinks (does not eliminate) the window -- the coordinator can bind
+    while the probe socket's TIME_WAIT lingers; callers that race
+    concurrent harnesses should retry the rendezvous with a fresh port
+    on bind failure (see ``tests/multiprocess_test.py``).
     """
     import socket
 
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(('127.0.0.1', 0))
         return int(s.getsockname()[1])
 

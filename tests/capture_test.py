@@ -6,6 +6,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kfac_pytorch_tpu.capture import accumulate_captures
 from kfac_pytorch_tpu.capture import capture_value_and_grad
@@ -151,6 +152,51 @@ def test_capture_with_traced_grad_scale_under_jit() -> None:
         np.asarray(c1['Dense_0'].a),
         rtol=1e-6,
     )
+
+
+def test_capture_default_only_grad_scale_is_zero_arg() -> None:
+    """A grad_scale whose positional params ALL have defaults keeps the
+    zero-arg trace-time-constant convention (capture.py `_takes_args`):
+    invoking ``def scale(s=4.0)`` with the batch args would silently
+    bind the batch array as the loss scale."""
+    model, params, specs, loss_fn, x, y = _setup()
+    base = capture_value_and_grad(loss_fn, specs)
+
+    def default_scale(s: float = 4.0) -> float:
+        return s
+
+    scaled = capture_value_and_grad(
+        loss_fn, specs, grad_scale=default_scale,
+    )
+    _, _, c1 = base(params, x, y)
+    _, _, c2 = scaled(params, x, y)
+    np.testing.assert_allclose(
+        np.asarray(c2['Dense_1'].g) * 16.0,
+        np.asarray(c1['Dense_1'].g),
+        rtol=1e-5,
+    )
+    # **kwargs-only likewise stays zero-arg (would TypeError if invoked
+    # with positional batch args).
+    kwonly = capture_value_and_grad(
+        loss_fn, specs, grad_scale=lambda **kw: 4.0,
+    )
+    _, _, c3 = kwonly(params, x, y)
+    np.testing.assert_allclose(
+        np.asarray(c3['Dense_1'].g),
+        np.asarray(c2['Dense_1'].g),
+        rtol=1e-6,
+    )
+
+
+def test_capture_nonscalar_grad_scale_raises() -> None:
+    """An arg-taking grad_scale that binds a batch array fails loudly at
+    trace time instead of producing silently wrong covariances."""
+    model, params, specs, loss_fn, x, y = _setup()
+    fn = capture_value_and_grad(
+        loss_fn, specs, grad_scale=lambda bx, by: bx,
+    )
+    with pytest.raises(ValueError, match='scalar loss scale'):
+        fn(params, x, y)
 
 
 class SharedLayerModel(nn.Module):

@@ -22,13 +22,13 @@ N_PROCESSES = 2
 _HANG_TIMEOUT = 420  # generous: 2 ranks compile TinyModel steps on CPU
 
 
-def test_two_process_sharded_kfac_training() -> None:
-    from kfac_pytorch_tpu.testing import open_port
+def _launch_ranks(port: int) -> list[tuple[int, str, str]]:
+    """Launch N worker ranks against one coordinator port.
 
+    Returns ``(returncode, stdout, stderr)`` per rank.
+    """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, 'tests', 'multiprocess_worker.py')
-    port = open_port()
-
     procs = []
     for pid in range(N_PROCESSES):
         env = dict(os.environ)
@@ -48,24 +48,48 @@ def test_two_process_sharded_kfac_training() -> None:
                 cwd=root,
             ),
         )
-
-    results = []
+    outs = []
     try:
-        for pid, p in enumerate(procs):
+        for p in procs:
             out, err = p.communicate(timeout=_HANG_TIMEOUT)
-            assert p.returncode == 0, (
-                f'rank {pid} failed (rc={p.returncode}):\n{err[-3000:]}'
-            )
-            lines = [
-                ln for ln in out.splitlines() if ln.startswith('MPRESULT')
-            ]
-            assert lines, f'rank {pid} printed no result:\n{out}'
-            results.append(lines[-1])
+            outs.append((p.returncode, out, err))
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
                 p.communicate()
+    return outs
+
+
+def _is_rendezvous_failure(outs: list[tuple[int, str, str]]) -> bool:
+    """True when a rank died binding/contacting the coordinator port --
+    the ``open_port`` TOCTOU race (another process grabbed the probed
+    port between close and coordinator bind), retryable with a fresh
+    port."""
+    markers = ('bind', 'address already in use', 'unavailable',
+               'deadline exceeded', 'failed to connect')
+    return any(
+        rc != 0 and any(m in err.lower() for m in markers)
+        for rc, _, err in outs
+    )
+
+
+def test_two_process_sharded_kfac_training() -> None:
+    from kfac_pytorch_tpu.testing import open_port
+
+    for attempt in range(3):
+        outs = _launch_ranks(open_port())
+        if not _is_rendezvous_failure(outs) or attempt == 2:
+            break
+
+    results = []
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f'rank {pid} failed (rc={rc}):\n{err[-3000:]}'
+        lines = [
+            ln for ln in out.splitlines() if ln.startswith('MPRESULT')
+        ]
+        assert lines, f'rank {pid} printed no result:\n{out}'
+        results.append(lines[-1])
 
     # SPMD: every rank must compute the identical global loss and hold
     # identical replicated final params.

@@ -372,6 +372,26 @@ def test_bucketed_allreduce_size_cap_segments_and_matches() -> None:
         _make(mesh, bucket_cap_mb=0)
 
 
+def test_ffd_chunks_backfills_small_after_large() -> None:
+    """First-fit-decreasing packing: small factors backfill a chunk a
+    large factor would close under name-order greedy (ADVICE r4 --
+    fewer psums; reference kfac/distributed.py:127-160 efficiency)."""
+    from kfac_pytorch_tpu.parallel.pipe_precond import ffd_chunks
+
+    # Name order ['a','b','c','d'] with greedy packing at cap=10 gives
+    # [a,b], [c], [d] (3 chunks); FFD gives [c,a,b], [d? ...] -> 2.
+    sizes = {'a': 3, 'b': 3, 'c': 4, 'd': 8}
+    chunks = ffd_chunks(sizes, cap=10)
+    assert len(chunks) == 2
+    assert sorted(n for c in chunks for n in c) == ['a', 'b', 'c', 'd']
+    assert all(sum(sizes[n] for n in c) <= 10 for c in chunks)
+    # Oversized item travels alone; everything still packed exactly once.
+    chunks = ffd_chunks({'big': 99, 'x': 1, 'y': 1}, cap=10)
+    assert ['big'] in chunks
+    # No cap: one chunk.
+    assert len(ffd_chunks(sizes, cap=float('inf'))) == 1
+
+
 def test_state_dict_roundtrip_and_checkpoint() -> None:
     mesh = _mesh()
     precond = _make(mesh, damping=0.01)

@@ -463,6 +463,51 @@ def test_eigensolver_validation() -> None:
         )
 
 
+def test_auto_eigensolver_regime_safe(monkeypatch) -> None:
+    """On accelerator backends, eigensolver='auto' must NOT silently
+    pick 'refine' for Dense-dominated large-dim models (the measured
+    refine-lag regime, docs/PERF_NOTES.md "LM convergence A/B"): exact
+    'xla' is selected with an ExperimentalFeatureWarning pointing at
+    compute_method='inverse'. Vision/small-MLP regimes keep 'refine'.
+    VERDICT r4 item #4; reference numerics contract
+    kfac/layers/eigen.py:295-348."""
+    import flax.linen as nn
+
+    from kfac_pytorch_tpu.warnings import ExperimentalFeatureWarning
+
+    class WideMLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Dense(2048)(x))
+            x = nn.relu(nn.Dense(2048)(x))
+            return nn.Dense(16)(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 512))
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    with pytest.warns(ExperimentalFeatureWarning, match='inverse'):
+        p = KFACPreconditioner(WideMLP(), example_args=(x,))
+    assert p.eigensolver == 'xla'
+
+    # Small-dim Dense model: not in the lag regime -> refine, no warn.
+    tiny = TinyModel()
+    xt = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    p2 = KFACPreconditioner(tiny, example_args=(xt,))
+    assert p2.eigensolver == 'refine'
+
+    # Explicit override is honored without second-guessing.
+    with pytest.warns(ExperimentalFeatureWarning):
+        p3 = KFACPreconditioner(
+            WideMLP(), example_args=(x,), eigensolver='refine',
+            refine_precision='mixed',
+        )
+    assert p3.eigensolver == 'refine'
+
+    # CPU backend keeps exact 'xla' (test-parity default).
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'cpu')
+    p4 = KFACPreconditioner(WideMLP(), example_args=(x,))
+    assert p4.eigensolver == 'xla'
+
+
 @pytest.mark.parametrize('solver', ['xla', 'refine'])
 def test_bf16_inverse_storage_close_to_f32(solver: str) -> None:
     """inv_dtype=bfloat16 (the bench/production storage setting) must
