@@ -22,6 +22,7 @@ import optax
 from examples.utils import Metric
 from examples.utils import Prefetcher
 from kfac_pytorch_tpu.capture import accumulate_captures
+from kfac_pytorch_tpu.capture import nonfinite_captures
 
 __all__ = ['TrainState', 'Trainer']
 
@@ -44,6 +45,9 @@ class Trainer:
     precond: Any = None  # KFACPreconditioner or None
     loss_fn: Any = None  # (logits, labels) -> loss
     data_sharding: Any = None  # NamedSharding for input batches
+    # Layers whose factor EMA fold was dropped by the nonfinite guard
+    # this epoch (AMP overflow observability; reset per train_epoch*).
+    epoch_nonfinite_skips: int = 0
 
     def __post_init__(self) -> None:
         if self.loss_fn is None:
@@ -97,6 +101,15 @@ class Trainer:
                 (loss, bn), grads, captured = vag(
                     state.params, state.batch_stats, x, y,
                 )
+                # Skipped-layer visibility for the AMP workflow: layers
+                # whose batch factors came back inf/nan had their EMA
+                # fold dropped by the engine's nonfinite_guard; surface
+                # the count so overflow steps are observable in the
+                # training log, the analogue of GradScaler's visible
+                # skips in the reference's loop
+                # (examples/vision/engine.py:80-88 of
+                # gpauloski/kfac-pytorch).
+                skipped = nonfinite_captures(captured)
                 pgrads, kfac_state = self.precond.step(
                     state.kfac_state, grads, captured,
                 )
@@ -110,7 +123,7 @@ class Trainer:
                     opt_state=opt_state,
                     kfac_state=kfac_state,
                     step=state.step + 1,
-                ), loss
+                ), loss, skipped
 
             self._capture_step = jax.jit(capture_step, donate_argnums=(0,))
 
@@ -165,6 +178,7 @@ class Trainer:
         meter = Metric('train/loss')
         start = time.perf_counter()
         py_step = int(state.step)
+        self.epoch_nonfinite_skips = 0
         batches = Prefetcher(
             dataset.epoch(),
             put_fn=lambda x, y: (self._put(x), self._put(y)),
@@ -174,21 +188,32 @@ class Trainer:
                 self.precond.should_update_factors(py_step)
             )
             if use_capture:
-                state, loss = self._capture_step(state, x, y)
+                state, loss, skipped = self._capture_step(state, x, y)
+                # Capture steps are 1-in-factor_update_steps; the
+                # scalar fetch costs one host sync on those steps only.
+                self.epoch_nonfinite_skips += int(skipped)
             else:
                 state, loss = self._fast_step(state, x, y)
             py_step += 1
             meter.update(loss, n=len(y))
             if verbose and (i + 1) % log_every == 0:
+                skips = (
+                    f' kfac_nonfinite_skips {self.epoch_nonfinite_skips}'
+                    if self.epoch_nonfinite_skips else ''
+                )
                 print(
                     f'epoch {epoch} step {i + 1}/{len(dataset)} '
-                    f'loss {meter.avg:.4f}',
+                    f'loss {meter.avg:.4f}{skips}',
                 )
         if verbose:
             wall = time.perf_counter() - start
+            skips = (
+                f' kfac_nonfinite_skips {self.epoch_nonfinite_skips}'
+                if self.epoch_nonfinite_skips else ''
+            )
             print(
                 f'epoch {epoch} done: loss {meter.avg:.4f} '
-                f'({wall:.1f}s, {len(dataset) / wall:.1f} it/s)',
+                f'({wall:.1f}s, {len(dataset) / wall:.1f} it/s){skips}',
             )
         return state, meter.avg
 
@@ -206,6 +231,7 @@ class Trainer:
         """
         meter = Metric('train/loss')
         micro: list[tuple[Any, Any]] = []
+        self.epoch_nonfinite_skips = 0
         batches = Prefetcher(
             dataset.epoch(),
             put_fn=lambda x, y: (self._put(x), self._put(y)),
@@ -225,6 +251,7 @@ class Trainer:
                 lambda *gs: sum(gs) / len(gs), *grads_list,
             )
             captured = accumulate_captures(caps)
+            self.epoch_nonfinite_skips += int(nonfinite_captures(captured))
             pgrads, kfac_state = self.precond.step(
                 state.kfac_state, grads, captured,
             )

@@ -8,6 +8,9 @@ from kfac_pytorch_tpu.parallel.strategy import (
     resolve_grad_workers as resolve_grad_workers,
 )
 from kfac_pytorch_tpu.parallel.pipe_precond import (
+    make_pipeline_period_train_step as make_pipeline_period_train_step,
+)
+from kfac_pytorch_tpu.parallel.pipe_precond import (
     make_pipeline_train_step as make_pipeline_train_step,
 )
 from kfac_pytorch_tpu.parallel.pipe_precond import (

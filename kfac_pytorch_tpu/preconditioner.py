@@ -313,6 +313,11 @@ class KFACPreconditioner:
         if eigensolver == 'auto':
             if jax.default_backend() == 'cpu':
                 eigensolver = 'xla'
+            elif self.compute_method != ComputeMethod.EIGEN:
+                # The inverse method never runs an eigensolver; resolve
+                # silently (warning here would tell inverse users to
+                # switch to the method they already use).
+                eigensolver = 'xla'
             elif self._dense_dominated_large_dims():
                 # Measured lag regime (docs/PERF_NOTES.md "LM
                 # convergence A/B"): on Dense-dominated models with

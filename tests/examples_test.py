@@ -454,3 +454,65 @@ def test_dynamic_loss_scale_amp_workflow() -> None:
     scaler.update(found_inf=False)
     assert scaler._scale == 1024.0
     _ = optax  # referenced for parity with other tests
+
+
+def test_trainer_surfaces_nonfinite_skips(capsys) -> None:
+    """A forced-overflow batch surfaces the skipped-layer count in the
+    vision engine's log -- the AMP observability loop end-to-end
+    (engine nonfinite_guard -> nonfinite_captures -> train_epoch log),
+    the analogue of GradScaler's visible skips in the reference's loop
+    (examples/vision/engine.py:80-88 of gpauloski/kfac-pytorch).
+    """
+    import jax
+    import optax
+
+    from examples.vision.engine import Trainer
+    from kfac_pytorch_tpu import KFACPreconditioner
+    from kfac_pytorch_tpu.models import resnet20
+
+    rng = np.random.default_rng(0)
+    batches = [
+        (
+            rng.normal(size=(4, 32, 32, 3)).astype(np.float32),
+            rng.integers(0, 10, 4).astype(np.int32),
+        )
+        for _ in range(3)
+    ]
+    # Batch 1 overflows: every layer's captured factors go nonfinite.
+    batches[1] = (np.full_like(batches[1][0], np.nan), batches[1][1])
+
+    class Stub:
+        def __len__(self) -> int:
+            return len(batches)
+
+        def epoch(self):  # noqa: ANN202
+            return iter(batches)
+
+    model = resnet20()
+    x0 = jnp.asarray(batches[0][0])
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    precond = KFACPreconditioner(
+        model,
+        example_args=(x0,),
+        factor_update_steps=1,
+        inv_update_steps=2,
+        skip_layers=['shortcut'],
+    )
+    trainer = Trainer(model=model, tx=optax.sgd(0.01), precond=precond)
+    state = trainer.init_state(
+        variables['params'], variables['batch_stats'],
+    )
+    state, _ = trainer.train_epoch(
+        state, Stub(), epoch=0, log_every=1, verbose=True,
+    )
+    # The NaN batch skips every registered layer's EMA fold; the
+    # unguarded optimizer still applies the NaN grads (skipping the
+    # update on overflow is DynamicLossScale's job, not the engine's),
+    # so the following batch's captures are nonfinite too: 2 epochs'
+    # worth of layer skips, all surfaced.
+    assert trainer.epoch_nonfinite_skips == 2 * len(precond.specs)
+    assert 'kfac_nonfinite_skips' in capsys.readouterr().out
+    # The guard kept the factor EMAs finite through the overflow batch.
+    for cf in state.kfac_state.factors.values():
+        assert bool(jnp.all(jnp.isfinite(cf.a)))
+        assert bool(jnp.all(jnp.isfinite(cf.g)))

@@ -289,6 +289,103 @@ def test_interval_gating_in_pipelined_step() -> None:
     )
 
 
+@pytest.mark.parametrize(
+    'kw',
+    [
+        {'eigensolver': 'xla'},
+        {
+            'compute_method': 'inverse',
+            'compute_eigenvalue_outer_product': False,
+        },
+    ],
+    ids=['eigen-xla', 'inverse'],
+)
+def test_pipeline_period_step_matches_gated_step(kw) -> None:
+    """The static pipelined period schedule equals the cond-gated scan.
+
+    Two full refresh periods (fus=2, ius=4) over 8 DISTINCT batches so
+    gating mistakes cannot cancel out -- the cond-free program
+    (make_pipeline_period_train_step, the production GPT-NeoX-style
+    schedule) must produce the identical trajectory for both compute
+    methods. Pipelined counterpart of
+    tests/train_test.py::test_period_step_matches_gated_step.
+    """
+    from kfac_pytorch_tpu.parallel.pipe_precond import (
+        make_pipeline_period_train_step,
+    )
+
+    mesh = _mesh()
+    precond = _make(
+        mesh, factor_update_steps=2, inv_update_steps=4, lr=0.1,
+        damping=0.003, **kw,
+    )
+    params = precond.init_params(jax.random.PRNGKey(3))
+    tx = optax.sgd(0.1)
+    n = 8
+    xs = jax.random.normal(jax.random.PRNGKey(5), (n, BATCH, WIDTH))
+    ys = jax.random.randint(
+        jax.random.PRNGKey(6), (n, BATCH), 0, WIDTH,
+    )
+
+    gated = make_pipeline_train_step(precond, tx)
+    carry_g = (params, tx.init(params), precond.init())
+    carry_g, losses_g = jax.jit(
+        lambda c, b: jax.lax.scan(gated, c, b),
+    )(carry_g, (xs, ys))
+
+    period = make_pipeline_period_train_step(precond, tx)
+    carry_p = (params, tx.init(params), precond.init())
+    pb = (
+        xs.reshape(2, 4, *xs.shape[1:]),
+        ys.reshape(2, 4, *ys.shape[1:]),
+    )
+    carry_p, losses_p = jax.jit(
+        lambda c, b: jax.lax.scan(period, c, b),
+    )(carry_p, pb)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_p).reshape(-1),
+        np.asarray(losses_g),
+        rtol=2e-5,
+    )
+    assert int(carry_p[2].steps) == n
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+        ),
+        carry_p[0],
+        carry_g[0],
+    )
+    # Second-order state advanced identically (refresh at steps 0, 4).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(b, np.float32),
+            atol=1e-5,
+        ),
+        carry_p[2].buckets,
+        carry_g[2].buckets,
+    )
+
+
+def test_pipeline_period_step_validates_intervals() -> None:
+    from kfac_pytorch_tpu.parallel.pipe_precond import (
+        make_pipeline_period_train_step,
+    )
+
+    mesh = _mesh()
+    precond = _make(mesh, factor_update_steps=3, inv_update_steps=4)
+    with pytest.raises(ValueError, match='multiple'):
+        make_pipeline_period_train_step(precond, optax.sgd(0.1))
+    precond2 = _make(
+        mesh,
+        factor_update_steps=lambda s: 2,
+        inv_update_steps=4,
+    )
+    with pytest.raises(ValueError, match='static int'):
+        make_pipeline_period_train_step(precond2, optax.sgd(0.1))
+
+
 def test_training_loss_decreases() -> None:
     mesh = _mesh()
     precond = _make(
