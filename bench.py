@@ -456,9 +456,14 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
 
     Default measures b128 (production microbatch scale, b32/micro);
     ``--pipe1-b32`` adds the small-batch continuity point (fixed costs
-    against b8-microbatch matmuls -- inherently high and noisy), and
+    against b8-microbatch matmuls -- inherently high and noisy),
     ``--pipe1-eigen`` adds the r04 eigen+refine config for
-    round-over-round continuity.
+    round-over-round continuity, and ``--pipe1-large`` adds a
+    dim-1024/ffn-4096 stage point (sgd + production config only):
+    the K-FAC adder is latency-bound, so its relative cost falls as
+    the stage's matmuls grow toward real GPT-NeoX dims -- the scaling
+    direction of the measured floor (docs/PERF_NOTES.md "Round-5:
+    pipe1 floor").
     """
     import numpy as np
     from jax.sharding import Mesh
@@ -481,6 +486,8 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
             out.astype(jnp.float32), y,
         ).mean()
 
+    geom = {'dim': dim, 'heads': heads, 'ffn': ffn}
+
     inverse_kw = {
         k: v for k, v in KFAC_KW.items()
         if k not in ('skip_layers', 'refine_precision', 'refine_iterations')
@@ -498,12 +505,16 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
     def build_precond(batch: int, **kw: Any) -> Any:
         return PipelineKFACPreconditioner(
             PipelineTransformerStage(
-                dim=dim, num_heads=heads, ffn_dim=ffn,
+                dim=geom['dim'],
+                num_heads=geom['heads'],
+                ffn_dim=geom['ffn'],
             ),
             mesh=mesh,
             n_microbatches=micro,
             loss_fn=loss_fn,
-            example_args=(jnp.zeros((batch // micro, seq, dim)),),
+            example_args=(
+                jnp.zeros((batch // micro, seq, geom['dim'])),
+            ),
             **kw,
         )
 
@@ -559,16 +570,20 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
         best, spread = _warmed_best(call, repeats)
         return max(best - _floor(), 1e-9) / ius, spread
 
-    def measure(batch: int, decompose: bool) -> dict[str, Any]:
+    def measure(
+        batch: int, decompose: bool, full: bool = True,
+    ) -> dict[str, Any]:
         # One engine build just for params/plain-step (all configs share
         # the stage module's parameter structure).
         ref = build_precond(batch, **inverse_kw)
         params = ref.init_params(jax.random.PRNGKey(0))
         x = jax.random.normal(
-            jax.random.PRNGKey(1), (batch, seq, dim), jnp.float32,
+            jax.random.PRNGKey(1),
+            (batch, seq, geom['dim']),
+            jnp.float32,
         )
         y = jax.random.randint(
-            jax.random.PRNGKey(2), (batch, seq), 0, dim,
+            jax.random.PRNGKey(2), (batch, seq), 0, geom['dim'],
         )
         tx = optax.sgd(0.1, momentum=0.9)
         plain = ref.plain_value_and_grad()
@@ -582,22 +597,27 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
         _, t_sgd, sgd_spread = _timed_scan(
             sgd_body, (params, tx.init(params)), n, repeats,
         )
-        t_dyn, dyn_spread = kfac_time(
-            batch, x, y, params, tx, **inverse_kw,
-        )
         out = {
             'sgd_step_ms': round(t_sgd * 1e3, 3),
-            'dynamic_inverse_step_ms': round(t_dyn * 1e3, 3),
-            'dynamic_inverse_overhead_pct': round(
-                (t_dyn / t_sgd - 1.0) * 100.0, 2,
-            ),
             'sgd_spread_pct': sgd_spread,
-            'kfac_spread_pct': dyn_spread,
             'model': (
-                f'transformer stage dim {dim} ffn {ffn} seq {seq} '
-                f'b{batch}, {micro} microbatches'
+                f"transformer stage dim {geom['dim']} ffn "
+                f"{geom['ffn']} seq {seq} b{batch}, "
+                f'{micro} microbatches'
             ),
         }
+        t_dyn = None
+        if full:
+            t_dyn, dyn_spread = kfac_time(
+                batch, x, y, params, tx, **inverse_kw,
+            )
+            out.update({
+                'dynamic_inverse_step_ms': round(t_dyn * 1e3, 3),
+                'dynamic_inverse_overhead_pct': round(
+                    (t_dyn / t_sgd - 1.0) * 100.0, 2,
+                ),
+                'kfac_spread_pct': dyn_spread,
+            })
         # Production headline: static-period schedule + inverse method
         # (the unpipelined LM recipe, now first-class for the pipelined
         # engine). Fails soft to the dynamic number (e.g. if the
@@ -620,11 +640,12 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
                     '(production; see docstring)'
                 ),
                 'static_spread_pct': static_spread,
-                'static_gating_saving_ms': round(
-                    (t_dyn - t_static) * 1e3, 3,
-                ),
             })
-        else:
+            if t_dyn is not None:
+                out['static_gating_saving_ms'] = round(
+                    (t_dyn - t_static) * 1e3, 3,
+                )
+        elif t_dyn is not None:
             out.update({
                 'kfac_step_ms': round(t_dyn * 1e3, 3),
                 'overhead_pct': round((t_dyn / t_sgd - 1.0) * 100.0, 2),
@@ -633,7 +654,7 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
                     '(static-period failed; see error)'
                 ),
             })
-        if decompose:
+        if decompose and t_dyn is not None:
             # Same dynamic program with capture+refresh gated off
             # inside the measurement window: the remaining adder is
             # per-step precondition + schedule/threading + cond
@@ -662,6 +683,15 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
     }
     if '--pipe1-b32' in sys.argv:
         out['b32'] = measure(32, decompose=False)
+    if '--pipe1-large' in sys.argv:
+        # Scaling point toward real GPT-NeoX stage dims: sgd + the
+        # production config only (the adder is latency-bound, so its
+        # relative cost falls as the stage matmuls grow).
+        geom.update(dim=1024, heads=16, ffn=4096)
+        try:
+            out['b64_dim1024'] = measure(64, decompose=False, full=False)
+        finally:
+            geom.update(dim=512, heads=8, ffn=2048)
     return out
 
 def _make_loss(model: Any) -> Any:
