@@ -67,6 +67,18 @@ def parse_args() -> argparse.Namespace:
                    choices=['auto', 'xla', 'refine'])
     p.add_argument('--kfac-bucketed-comm', action='store_true',
                    help='coalesced triu factor all-reduce (DCN meshes)')
+    p.add_argument('--kfac-static-period', action='store_true',
+                   help='compile the K-FAC update schedule statically: '
+                        'one dispatch per inv_update_steps batches, no '
+                        'in-graph gating conds (the production GPT-NeoX-'
+                        'style schedule; --steps must divide by '
+                        'inv_update_steps, which must divide by '
+                        'factor_update_steps)')
+    p.add_argument('--kfac-inverse', action='store_true',
+                   help="compute_method='inverse' (the measured-fastest "
+                        'LM-regime configuration, steps-to-loss '
+                        'identical to exact eigen there; '
+                        'docs/PERF_NOTES.md "LM convergence A/B")')
     return p.parse_args()
 
 
@@ -113,6 +125,14 @@ def main() -> None:
             out.astype(jnp.float32), y,
         ).mean()
 
+    method_kw = (
+        {
+            'compute_method': 'inverse',
+            'compute_eigenvalue_outer_product': False,
+        }
+        if args.kfac_inverse
+        else {}
+    )
     precond = PipelineKFACPreconditioner(
         stage,
         mesh=mesh,
@@ -131,6 +151,7 @@ def main() -> None:
             if args.kfac_bucketed_comm
             else AllreduceMethod.ALLREDUCE
         ),
+        **method_kw,
     )
     print(
         f'KFAC registered {len(precond.specs)} stage layers x '
@@ -153,6 +174,45 @@ def main() -> None:
             0, 1, (args.batch_size, args.seq_len, args.dim),
         ).astype(np.float32)
         return jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+
+    if args.kfac and args.kfac_static_period:
+        # Production schedule (see bench pipeline_chip_pipe1): one
+        # dispatch per inv_update_steps batches, cond-free program.
+        from kfac_pytorch_tpu.parallel import (
+            make_pipeline_period_train_step,
+        )
+
+        ius = args.kfac_inv_update_steps
+        if args.steps % ius != 0:
+            raise SystemExit(
+                f'--kfac-static-period requires --steps ({args.steps}) '
+                f'divisible by --kfac-inv-update-steps ({ius})',
+            )
+        if ius % args.kfac_factor_update_steps != 0:
+            raise SystemExit(
+                '--kfac-static-period requires --kfac-inv-update-steps '
+                f'({ius}) divisible by --kfac-factor-update-steps '
+                f'({args.kfac_factor_update_steps})',
+            )
+        period_step = jax.jit(
+            make_pipeline_period_train_step(precond, tx),
+        )
+        carry = (params, tx.init(params), precond.init())
+        t0 = time.perf_counter()
+        for chunk0 in range(0, args.steps, ius):
+            pairs = [batch(chunk0 + i) for i in range(ius)]
+            bxs = jnp.stack([p[0] for p in pairs])
+            bys = jnp.stack([p[1] for p in pairs])
+            carry, losses = period_step(carry, (bxs, bys))
+            done = chunk0 + ius
+            loss = float(losses[-1])
+            print(
+                f'step {done:5d}  loss {loss:.4f}  '
+                f'ppl {math.exp(min(loss, 20.0)):.1f}  '
+                f'({time.perf_counter() - t0:.1f}s)',
+                flush=True,
+            )
+        return
 
     if args.kfac:
         step = jax.jit(make_pipeline_train_step(precond, tx))

@@ -161,6 +161,62 @@ def test_pipeline_transformer_cli_smoke() -> None:
     assert 'step     8' in out.stdout, out.stdout
 
 
+def test_pipeline_transformer_cli_static_period_inverse_smoke() -> None:
+    """--kfac-static-period --kfac-inverse trains through
+    make_pipeline_period_train_step (the production GPT-NeoX-style
+    schedule) on the virtual CPU mesh."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = (
+        env.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'pipeline_transformer.py'),
+            '--force-cpu', '--pipe', '2', '--data', '2',
+            '--steps', '8', '--log-every', '4',
+            '--dim', '32', '--heads', '2', '--ffn-dim', '64',
+            '--seq-len', '16', '--batch-size', '16',
+            '--kfac-factor-update-steps', '2',
+            '--kfac-inv-update-steps', '4',
+            '--kfac-static-period', '--kfac-inverse',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'step     8' in out.stdout, out.stdout
+    # Divisibility validation fires before any compile.
+    bad = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, 'examples', 'pipeline_transformer.py'),
+            '--force-cpu', '--pipe', '2', '--data', '2',
+            '--steps', '6',
+            '--dim', '32', '--heads', '2', '--ffn-dim', '64',
+            '--seq-len', '16', '--batch-size', '16',
+            '--kfac-inv-update-steps', '4',
+            '--kfac-static-period',
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=root,
+    )
+    assert bad.returncode != 0
+    assert 'divisible' in bad.stderr
+
+
 def test_language_model_cli_static_period_smoke() -> None:
     """--kfac-static-period trains through make_period_train_step and
     reaches the same epoch reporting as the dynamic path."""
