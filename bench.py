@@ -23,7 +23,7 @@ noise. Statistics capture is gated with ``lax.cond`` on the step counter
 reference's hook gating (``base_preconditioner.py:444-446``) on-device.
 
 The whole run executes under a global wall-clock budget
-(``KFAC_BENCH_BUDGET_S``, default 2400 s) and re-emits the cumulative
+(``KFAC_BENCH_BUDGET_S``, default 2700 s) and re-emits the cumulative
 result line after every completed section, so a driver kill at any
 point after the headline section still leaves a parseable last line
 (see ``main``). The time-to-accuracy convergence gate (the analogue of
@@ -1900,7 +1900,7 @@ _SECTION_EST_S: dict[str, float] = {
     'rn20': 340.0,
     'rn20_factor': 280.0,
     'lm': 260.0,
-    'pipe1': 600.0,
+    'pipe1': 700.0,
     'tta': 380.0,
     'refine_ab': 900.0,
     'sync': 60.0,
@@ -1922,7 +1922,7 @@ def main() -> None:
        driver parses the LAST parseable line, so a kill at any point
        after the first section still records the headline.
     2. A global budget governor -- ``KFAC_BENCH_BUDGET_S`` (default
-       2400 s: the measured cold-cache cost of the full default
+       2700 s: the measured cold-cache cost of the full default
        section list, docs/PERF_NOTES.md "Round-5: bench wall-time
        budget") is a hard deadline: sections whose cost estimate
        (``_SECTION_EST_S``) no longer fits are skipped with an
@@ -1935,7 +1935,7 @@ def main() -> None:
        (``.github/workflows/tests.yml:12`` of gpauloski/kfac-pytorch).
     """
     t0 = time.monotonic()
-    budget = float(_os.environ.get('KFAC_BENCH_BUDGET_S', '2400'))
+    budget = float(_os.environ.get('KFAC_BENCH_BUDGET_S', '2700'))
     inline = _os.environ.get('KFAC_BENCH_INLINE') == '1'
 
     def remaining() -> float:
