@@ -1989,7 +1989,8 @@ def main() -> None:
     state: dict[str, Any] = {'rn50': {}, 'done': []}
 
     def emit(section: str) -> None:
-        state['done'].append(section)
+        if section:
+            state['done'].append(section)
         rn50 = state['rn50']
         overhead_pct = rn50.get('overhead_pct')
         detail['sections_done'] = list(state['done'])
@@ -2017,6 +2018,12 @@ def main() -> None:
                 'detail': detail,
             }
         print(json.dumps(result), flush=True)
+
+    # Bootstrap line BEFORE any section: if the driver's timeout is
+    # tighter than even the headline section's cold compile, the last
+    # stdout line is still parseable (an honest null, not silence --
+    # the r04 failure mode was parsed=null from zero output).
+    emit('')
 
     rn50_out = sect('rn50', timeout_s=1200)
     rn50 = rn50_out.get('rn50', rn50_out)

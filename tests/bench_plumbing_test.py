@@ -131,9 +131,13 @@ def test_main_emits_after_every_section(  # noqa: ANN001
         for ln in capsys.readouterr().out.splitlines()
         if ln.startswith('{')
     ]
-    assert len(lines) >= 6
-    first = json.loads(lines[0])
+    assert len(lines) >= 7
+    boot = json.loads(lines[0])
+    first = json.loads(lines[1])
     last = json.loads(lines[-1])
+    # Bootstrap line before any section: parseable honest null.
+    assert boot['value'] is None
+    assert boot['detail']['sections_done'] == []
     assert first['value'] == 10.0
     assert first['detail']['sections_done'] == ['rn50']
     assert last['value'] == 10.0
