@@ -2034,6 +2034,10 @@ def main() -> None:
         **(
             {'rn50_error': rn50['error']} if 'error' in rn50 else {}
         ),
+        **(
+            {'rn50_skipped': rn50['skipped']}
+            if 'skipped' in rn50 else {}
+        ),
         **{
             k: rn50[k]
             for k in ('sgd_spread_pct', 'kfac_spread_pct')
