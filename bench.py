@@ -1318,9 +1318,13 @@ def capture_cost(
         updates, o = tx.update(grads, o)
         return (optax.apply_updates(p, updates), bn2, o), loss
 
+    # repeats=3: this metric is a DIFFERENCE of two ~50 ms dispatches,
+    # so single-shot shared-chip noise can swallow it whole (observed:
+    # a cold-cache run read 0.38 ms / sol_fraction 1.79 -- physically
+    # impossible -- from one perturbed sgd sample).
     carry = (params, batch_stats, tx.init(params))
-    _, t_sgd, _ = _timed_scan(sgd_body, carry, n)
-    _, t_cap, _ = _timed_scan(cap_body, carry, n)
+    _, t_sgd, _ = _timed_scan(sgd_body, carry, n, repeats=3)
+    _, t_cap, _ = _timed_scan(cap_body, carry, n, repeats=3)
     out: dict[str, Any] = {
         'capture_cost_ms': round((t_cap - t_sgd) * 1e3, 3),
     }
