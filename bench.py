@@ -39,6 +39,7 @@ Runs on the default JAX backend (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from typing import Any
@@ -654,6 +655,17 @@ def pipeline_chip_pipe1(n: int = 100, repeats: int = 3) -> dict[str, Any]:
                     '(static-period failed; see error)'
                 ),
             })
+        if decompose:
+            # Headline measured: partial marker so a timeout in the
+            # decomposition/continuity arms below cannot take it down
+            # (_run_section salvages the last marker).
+            print(
+                _SECTION_PREFIX + json.dumps({
+                    'mesh': 'pipe1 x data1 (real chip)',
+                    'b128': dict(out),
+                }),
+                flush=True,
+            )
         if decompose and t_dyn is not None:
             # Same dynamic program with capture+refresh gated off
             # inside the measurement window: the remaining adder is
@@ -1738,9 +1750,14 @@ def _run_section(
     a retry usually lands on a healthy tunnel. Children share the
     on-disk jax compilation cache, so the re-compile cost is small.
     Timeouts are scaled by $KFAC_BENCH_TIMEOUT_SCALE if set.
+
+    A killed child may already have printed PARTIAL result markers
+    (sections print one after each headline-grade measurement): the
+    last marker in the dead child's captured stdout is salvaged and
+    returned with a ``partial`` note instead of discarding the whole
+    section.
     """
     import os
-    import subprocess
 
     scale = float(_os.environ.get('KFAC_BENCH_TIMEOUT_SCALE', '1'))
     err = 'unknown'
@@ -1766,8 +1783,15 @@ def _run_section(
                 timeout=timeout_s * scale,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as exc:
             err = f'timeout after {timeout_s * scale:.0f}s'
+            out = exc.stdout if exc.stdout is not None else exc.output
+            if isinstance(out, bytes):
+                out = out.decode(errors='replace')
+            salvaged = _parse_section_output(out or '')
+            if salvaged is not None:
+                salvaged['partial'] = err
+                return salvaged
             continue
         parsed = _parse_section_output(proc.stdout)
         if parsed is not None:
@@ -1853,7 +1877,6 @@ def section_rn50() -> dict[str, Any]:
     t_inv, inv_spread = kfac_time(
         KFACPreconditioner(model, example_args=(x,), **kw),
     )
-    t_eig, eig_spread = kfac_time(precond)
     inv_pct = round((t_inv / t_sgd - 1.0) * 100.0, 2)
     rn50 = {
         'sgd_step_ms': round(t_sgd * 1e3, 3),
@@ -1864,14 +1887,21 @@ def section_rn50() -> dict[str, Any]:
             'compute_method=inverse, dynamic schedule (production; '
             'vision + LM convergence A/Bs in docs/PERF_NOTES.md)'
         ),
+        'sgd_spread_pct': sgd_spread,
+        'kfac_spread_pct': inv_spread,
+    }
+    # The headline exists NOW: print a partial marker so a timeout in
+    # the continuity arm below cannot take the headline down with it
+    # (_run_section salvages the last marker from a killed child).
+    print(_SECTION_PREFIX + json.dumps({'rn50': dict(rn50)}), flush=True)
+    t_eig, eig_spread = kfac_time(precond)
+    rn50.update({
         'eigen_refine_step_ms': round(t_eig * 1e3, 3),
         'eigen_refine_overhead_pct': round(
             (t_eig / t_sgd - 1.0) * 100.0, 2,
         ),
-        'sgd_spread_pct': sgd_spread,
-        'kfac_spread_pct': inv_spread,
         'eigen_spread_pct': eig_spread,
-    }
+    })
     out: dict[str, Any] = {'rn50': rn50}
 
     if '--b256' in sys.argv:

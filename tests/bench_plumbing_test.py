@@ -113,6 +113,37 @@ _STUBS = {
 }
 
 
+def test_run_section_salvages_partial_on_timeout(  # noqa: ANN001
+    bench, monkeypatch,
+) -> None:
+    """A section child killed by its timeout may already have printed
+    partial SECTION_RESULT markers (e.g. the rn50 headline before the
+    eigen continuity arm); _run_section must salvage the last one
+    instead of discarding the section."""
+    import subprocess
+
+    partial = bench._SECTION_PREFIX + json.dumps({'rn50': {'a': 1}})
+
+    def fake_run(*args, **kwargs):  # noqa: ANN002, ANN003, ANN202
+        raise subprocess.TimeoutExpired(
+            cmd='bench', timeout=1.0, output=f'noise\n{partial}\n',
+        )
+
+    monkeypatch.setattr(bench.subprocess, 'run', fake_run, raising=False)
+    out = bench._run_section('rn50', timeout_s=1.0, retries=0)
+    assert out['rn50'] == {'a': 1}
+    assert 'partial' in out
+
+    def fake_run_empty(*args, **kwargs):  # noqa: ANN002, ANN003, ANN202
+        raise subprocess.TimeoutExpired(cmd='bench', timeout=1.0)
+
+    monkeypatch.setattr(
+        bench.subprocess, 'run', fake_run_empty, raising=False,
+    )
+    out = bench._run_section('rn50', timeout_s=1.0, retries=0)
+    assert 'error' in out
+
+
 def test_main_emits_after_every_section(  # noqa: ANN001
     bench, monkeypatch, capsys,
 ) -> None:
